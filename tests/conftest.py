@@ -1,0 +1,19 @@
+import os
+
+# Tests run on the CPU backend with 8 virtual devices so that multi-chip
+# sharding (mesh) tests work without TPU hardware, and so the test suite does
+# not pay the remote-TPU tunnel handshake on every run.
+#
+# In this environment jax is pre-imported by a sitecustomize with
+# JAX_PLATFORMS=axon, so setting the env var is not enough — the config must
+# be updated on the already-imported module *before* the first backend use.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,13 @@
+"""twenty_first_tpu — a TPU-native STARK-primitive framework.
+
+A from-scratch JAX/XLA/Pallas implementation of the capabilities of the
+`twenty-first` Rust crate: Goldilocks-field and cubic-extension arithmetic,
+batched NTT/iNTT, polynomial algebra, the Tip5 permutation/sponge, Merkle
+trees and Merkle Mountain Ranges, lattice crypto in F_p[X]/(X^64+1) with a
+KEM, and BFieldCodec serialization — designed batch-first for TPU meshes.
+"""
+
+__version__ = "0.1.0"
+
+from . import errors  # noqa: F401
+from . import math  # noqa: F401

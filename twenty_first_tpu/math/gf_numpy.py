@@ -1,0 +1,99 @@
+"""Vectorized Goldilocks arithmetic on host (numpy uint64).
+
+Used for twiddle-table precompute, constants derivation, and as an independent
+oracle for the device kernels in tests. numpy has native 64-bit integers, so
+the 128-bit products are formed from 32-bit halves (each partial product is
+exact in uint64).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+P = np.uint64(0xFFFF_FFFF_0000_0001)
+EPSILON = np.uint64(0xFFFF_FFFF)
+_M32 = np.uint64(0xFFFF_FFFF)
+_S32 = np.uint64(32)
+
+
+def _split(x):
+    return x & _M32, x >> _S32
+
+
+def mul(a, b):
+    """Canonical modular product of uint64 arrays (inputs may be any u64)."""
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    a0, a1 = _split(a)
+    b0, b1 = _split(b)
+    ll = a0 * b0
+    lh = a0 * b1
+    hl = a1 * b0
+    hh = a1 * b1
+    # mid = lh + hl, tracking the carry (worth 2^32 at bit 32 => 2^64 overall)
+    mid = lh + hl
+    midc = (mid < lh).astype(np.uint64)
+    lo = ll + (mid << _S32)
+    c = (lo < ll).astype(np.uint64)
+    hi = hh + (mid >> _S32) + (midc << _S32) + c
+    return reduce128(lo, hi)
+
+
+def reduce128(lo, hi):
+    """Reduce lo + hi * 2^64 mod p to canonical form."""
+    hi_lo, hi_hi = _split(hi)
+    t = lo - hi_hi
+    borrow = lo < hi_hi
+    t = np.where(borrow, t - EPSILON, t)
+    t1 = hi_lo * EPSILON
+    res = t + t1
+    carry = res < t
+    res = np.where(carry, res + EPSILON, res)
+    return np.where(res >= P, res - P, res)
+
+
+def add(a, b):
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    s = a + b
+    wrapped = s < a
+    s = np.where(wrapped, s + EPSILON, s)
+    return np.where(s >= P, s - P, s)
+
+
+def sub(a, b):
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    d = a - b
+    borrow = a < b
+    return np.where(borrow, d - EPSILON, d)
+
+
+def neg(a):
+    return sub(np.uint64(0), a)
+
+
+def pow_scalar(base: int, e: int) -> int:
+    return pow(int(base), int(e), int(P))
+
+
+def inverse(a):
+    """Elementwise inverse (python-int fallback per element; host-side only)."""
+    flat = np.asarray(a, dtype=np.uint64).ravel()
+    out = np.array([pow(int(v), int(P) - 2, int(P)) for v in flat], dtype=np.uint64)
+    return out.reshape(np.shape(a))
+
+
+def powers(base: int, n: int) -> np.ndarray:
+    """[1, base, base^2, ..., base^(n-1)] as uint64, by chunk doubling."""
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    out = np.empty(n, dtype=np.uint64)
+    out[0] = 1
+    filled = 1
+    while filled < n:
+        take = min(filled, n - filled)
+        step = np.uint64(pow(int(base) % int(P), filled, int(P)))
+        out[filled:filled + take] = mul(out[:take], step)
+        filled += take
+    return out

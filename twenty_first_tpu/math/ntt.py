@@ -1,0 +1,183 @@
+"""Batched NTT / iNTT over the Goldilocks field, TPU-native.
+
+Equivalent in values to the reference's in-place iterative radix-2 DIT
+Cooley–Tukey transform (twenty-first/src/math/ntt.rs:67-214): bit-reverse
+permutation followed by log2(n) butterfly stages with per-stage twiddles
+omega^(n/2m)^j. The reference caches twiddles/swap indices in OnceLocks
+(ntt.rs:71-79, :166-193); here the analogous caches are host-precomputed numpy
+tables, uploaded once per (size, direction).
+
+Design (TPU-first, not a port):
+  * batch-first: operates on limb planes of shape (..., n); the transform runs
+    over the last axis and everything else is batch. Because twiddles are
+    always *base-field* scalars (the reference's `MulAssign<BFieldElement>`
+    bound), the same function transforms extension-field data laid out as
+    (..., 3, n) — the three coefficient planes ride along as batch.
+  * stages are static: the python loop over log2(n) stages unrolls into a
+    fixed XLA graph; each stage is a reshape + elementwise modmul/add, which
+    XLA fuses into a few passes over HBM.
+  * the bit-reverse permutation is a single gather.
+
+For multi-chip transforms see parallel/dist_ntt.py (four-step / Bailey
+decomposition with an all-to-all transpose instead of cross-chip butterflies).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import gf
+from . import gf_numpy as gfn
+from .b_field_element import PRIMITIVE_ROOTS, P
+
+
+class NttDomainError(ValueError):
+    pass
+
+
+def _check_len(n: int) -> int:
+    if n == 0:
+        return 0
+    if n & (n - 1) or n > (1 << 32):
+        raise NttDomainError(
+            f"NTT length must be 0 or a power of two <= 2^32, got {n}"
+        )
+    return int(n).bit_length() - 1
+
+
+@functools.lru_cache(maxsize=None)
+def _bit_reverse_permutation(log_n: int) -> np.ndarray:
+    n = 1 << log_n
+    idx = np.arange(n, dtype=np.uint32)
+    rev = np.zeros(n, dtype=np.uint32)
+    for b in range(log_n):
+        rev |= ((idx >> b) & 1) << (log_n - 1 - b)
+    return rev.astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddles_host(log_n: int, inverse: bool) -> tuple[np.ndarray, ...]:
+    """Per-stage twiddle tables: stage s holds m=2^s powers of omega^(n/2m).
+
+    Matches ntt.rs:309-324. Returned as a single concatenated uint64 array of
+    length n-1 plus per-stage offsets, to keep the device upload small.
+    """
+    n = 1 << log_n
+    root = PRIMITIVE_ROOTS[n]
+    if inverse:
+        root = pow(root, P - 2, P)
+    stages = []
+    for s in range(log_n):
+        m = 1 << s
+        w_m = pow(root, n // (2 * m), P)
+        stages.append(gfn.powers(w_m, m))
+    return tuple(stages)
+
+
+@functools.lru_cache(maxsize=None)
+def _device_tables(log_n: int, inverse: bool):
+    stages = _twiddles_host(log_n, inverse)
+    dev = []
+    for tw in stages:
+        dev.append(gf.to_limbs(tw))
+    perm = jnp.asarray(_bit_reverse_permutation(log_n))
+    return perm, tuple(dev)
+
+
+def _ntt_core(x, perm, twiddles, log_n: int):
+    """x: (lo, hi) with last axis n. Returns transformed limb planes."""
+    lo, hi = x
+    batch_shape = lo.shape[:-1]
+    n = lo.shape[-1]
+    lo = jnp.take(lo, perm, axis=-1)
+    hi = jnp.take(hi, perm, axis=-1)
+    for s in range(log_n):
+        m = 1 << s
+        blocks = n // (2 * m)
+        shape = batch_shape + (blocks, 2, m)
+        lo = lo.reshape(shape)
+        hi = hi.reshape(shape)
+        u = (lo[..., 0, :], hi[..., 0, :])
+        v = (lo[..., 1, :], hi[..., 1, :])
+        tw = twiddles[s]
+        v = gf.mul(v, (tw[0], tw[1]))  # broadcast (m,) over batch/blocks
+        top = gf.add(u, v)
+        bot = gf.sub(u, v)
+        lo = jnp.stack([top[0], bot[0]], axis=-2).reshape(batch_shape + (n,))
+        hi = jnp.stack([top[1], bot[1]], axis=-2).reshape(batch_shape + (n,))
+    return lo, hi
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_ntt(log_n: int, inverse: bool):
+    perm, twiddles = _device_tables(log_n, inverse)
+    n_inv = pow(1 << log_n, P - 2, P)
+
+    @jax.jit
+    def run(lo, hi):
+        out_lo, out_hi = _ntt_core((lo, hi), perm, twiddles, log_n)
+        if inverse:
+            out_lo, out_hi = gf.mul_const((out_lo, out_hi), n_inv)
+        return out_lo, out_hi
+
+    return run
+
+
+def ntt_limbs(x, inverse: bool = False):
+    """NTT over the last axis of limb planes (lo, hi). Shape-preserving."""
+    lo, hi = x
+    log_n = _check_len(lo.shape[-1])
+    if lo.shape[-1] <= 1:
+        return x
+    return _jitted_ntt(log_n, inverse)(lo, hi)
+
+
+def intt_limbs(x):
+    return ntt_limbs(x, inverse=True)
+
+
+# -- host-convenience wrappers ---------------------------------------------
+
+
+def ntt_values(values, inverse: bool = False) -> np.ndarray:
+    """NTT of a host uint64 array (last axis = transform axis)."""
+    values = np.asarray(values, dtype=np.uint64)
+    if values.shape[-1] <= 1:
+        _check_len(values.shape[-1])
+        return values.copy()
+    out = ntt_limbs(gf.to_limbs(values), inverse=inverse)
+    return gf.from_limbs(out)
+
+
+def intt_values(values) -> np.ndarray:
+    return ntt_values(values, inverse=True)
+
+
+def ntt(elements, inverse: bool = False):
+    """Scalar-object API: list of BFieldElement/XFieldElement, like ntt.rs:67.
+
+    Returns a new list (the TPU framework is functional; no in-place slices).
+    """
+    from .b_field_element import BFieldElement
+    from .x_field_element import XFieldElement
+
+    if not elements:
+        return []
+    if isinstance(elements[0], XFieldElement):
+        coeffs = np.array(
+            [[c.value() for c in e.coefficients] for e in elements], dtype=np.uint64
+        )  # (n, 3)
+        out = ntt_values(coeffs.T, inverse=inverse)  # (3, n)
+        return [XFieldElement((int(out[0, i]), int(out[1, i]), int(out[2, i])))
+                for i in range(out.shape[1])]
+    vals = np.array([e.value() for e in elements], dtype=np.uint64)
+    out = ntt_values(vals, inverse=inverse)
+    return [BFieldElement(int(v)) for v in out]
+
+
+def intt(elements):
+    return ntt(elements, inverse=True)
