@@ -1,0 +1,238 @@
+"""Batched Tip5 permutation on device (jnp limb planes).
+
+The reference applies the permutation to one 16-word state at a time with
+AVX-512 lanes inside one state (tip5/avx512.rs). On TPU the natural layout is
+the transpose: a *batch* of states, shape (..., 16) per limb plane, with the
+VPU vectorizing across the batch. One permutation call fuses all 5 rounds.
+
+Layers (reference tip5/mod.rs:175-253):
+  * S-box: words 0..4 pass through the byte-wise lookup applied to the
+    Montgomery representative's bytes (the LUT *is specified* on Montgomery
+    bytes, mod.rs:197-207); the lookup itself is evaluated arithmetically as
+    the offset Fermat cube map (x+1)^3 - 1 mod 257 — cheaper on TPU than an
+    8-way gather. Words 4..16 are raised to the 7th power.
+  * MDS: 16x16 circulant matrix with 16-bit entries, evaluated as an exact
+    integer matvec on 16-bit digit planes with split lo/hi accumulation, then
+    one 128-bit Goldilocks reduction. (The reference evaluates the same
+    integer convolution via a generated 16-point FFT, mod.rs:256-506; on TPU
+    the broadcast-multiply-reduce fuses into registers and the FFT's
+    scalar-op savings are irrelevant.)
+  * Round-constant addition.
+
+Degenerate-representation note: the reference's raw Montgomery pipeline can
+transiently hold values >= p inside a round (mod.rs:210-241); our canonical-
+value pipeline cannot, and because the reference corrects them before any
+representation-dependent step (the S-box), the two agree on all values. The
+permutation snapshot test pins this.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..math import gf
+from .constants import (
+    MDS_MATRIX,
+    NUM_ROUNDS,
+    NUM_SPLIT_AND_LOOKUP,
+    RATE,
+    ROUND_CONSTANTS,
+    STATE_SIZE,
+)
+
+_U32 = jnp.uint32
+_MASK16 = np.uint32(0xFFFF)
+_MASK8 = np.uint32(0xFF)
+
+# Device-resident constants.
+_MDS = jnp.asarray(MDS_MATRIX)  # (16, 16) uint32
+_RC_LIMBS = gf.to_limbs(ROUND_CONSTANTS.reshape(NUM_ROUNDS, STATE_SIZE))
+
+
+def _fermat_cube_map(b):
+    """Offset Fermat cube map on byte values held in uint32: (b+1)^3 - 1 mod 257."""
+    t = b + np.uint32(1)
+    t2 = (t * t) % np.uint32(257)
+    t3 = (t2 * t) % np.uint32(257)
+    return t3 - np.uint32(1)
+
+
+def _split_and_lookup(words):
+    """Byte-wise LUT on the Montgomery representative of the first 4 words."""
+    m = gf.to_montgomery(words)
+    mlo, mhi = m
+    out_lo = jnp.zeros_like(mlo)
+    out_hi = jnp.zeros_like(mhi)
+    for i in range(4):
+        sh = np.uint32(8 * i)
+        out_lo = out_lo | (_fermat_cube_map((mlo >> sh) & _MASK8) << sh)
+        out_hi = out_hi | (_fermat_cube_map((mhi >> sh) & _MASK8) << sh)
+    return gf.from_montgomery((out_lo, out_hi))
+
+
+def _pow7(x):
+    sq = gf.square(x)
+    qu = gf.square(sq)
+    return gf.mul(gf.mul(qu, sq), x)
+
+
+def _sbox(state):
+    lo, hi = state
+    first = _split_and_lookup((lo[..., :NUM_SPLIT_AND_LOOKUP],
+                               hi[..., :NUM_SPLIT_AND_LOOKUP]))
+    rest = _pow7((lo[..., NUM_SPLIT_AND_LOOKUP:], hi[..., NUM_SPLIT_AND_LOOKUP:]))
+    return (
+        jnp.concatenate([first[0], rest[0]], axis=-1),
+        jnp.concatenate([first[1], rest[1]], axis=-1),
+    )
+
+
+def _mds(state):
+    """Exact circulant matvec over the integers, then one Goldilocks reduction.
+
+    Each state word splits into four 16-bit digits; each digit plane is
+    convolved with the 16-bit MDS column. Products fit u32 exactly; sums of
+    their 16-bit halves over 16 taps fit u32 with huge margin (< 2^20).
+    """
+    lo, hi = state
+    digits = (
+        lo & _MASK16,
+        lo >> 16,
+        hi & _MASK16,
+        hi >> 16,
+    )
+    sums = []
+    for d in digits:
+        # prod[..., i, j] = MDS[i, j] * d[..., j]; XLA fuses this into the sum.
+        prod = _MDS * d[..., None, :]
+        s_lo = jnp.sum(prod & _MASK16, axis=-1)
+        s_hi = jnp.sum(prod >> 16, axis=-1)
+        sums.append((s_lo, s_hi))
+    g0 = sums[0][0]
+    g1 = sums[0][1] + sums[1][0]
+    g2 = sums[1][1] + sums[2][0]
+    g3 = sums[2][1] + sums[3][0]
+    g4 = sums[3][1]
+    # Assemble value = g0 + g1*2^16 + g2*2^32 + g3*2^48 + g4*2^64 into 128-bit
+    # words x0..x2 (x3 == 0 since the value < 2^84).
+    x0 = g0 + (g1 << 16)
+    c0 = (x0 < g0).astype(_U32)
+    t = g2 + (g1 >> 16) + c0
+    x1 = t + (g3 << 16)
+    c1 = (x1 < t).astype(_U32)
+    x2 = g4 + (g3 >> 16) + c1
+    x3 = jnp.zeros_like(x2)
+    return gf.reduce128(x0, x1, x2, x3)
+
+
+def _round(state, round_index: int):
+    state = _sbox(state)
+    state = _mds(state)
+    rc = (_RC_LIMBS[0][round_index], _RC_LIMBS[1][round_index])
+    return gf.add(state, rc)
+
+
+def permutation(state):
+    """Apply the full 5-round Tip5 permutation to limb planes (..., 16)."""
+    for i in range(NUM_ROUNDS):
+        state = _round(state, i)
+    return state
+
+
+def trace(state):
+    """Permutation trace: (1 + NUM_ROUNDS) states, stacked on a new axis -2.
+
+    Matches Tip5::trace (tip5/mod.rs:538-548): trace[0] is the initial state,
+    trace[1+i] the state after round i. Output limb planes have shape
+    (..., 6, 16) — ready for STARK arithmetization.
+    """
+    states = [state]
+    for i in range(NUM_ROUNDS):
+        states.append(_round(states[-1], i))
+    lo = jnp.stack([s[0] for s in states], axis=-2)
+    hi = jnp.stack([s[1] for s in states], axis=-2)
+    return lo, hi
+
+
+# ---------------------------------------------------------------------------
+# Batched hash entry points (jitted per input shape)
+# ---------------------------------------------------------------------------
+
+
+def _fixed_length_state(rate_input):
+    """State for the FixedLength domain: rate words from input, capacity = 1s."""
+    lo, hi = rate_input
+    batch = lo.shape[:-1]
+    cap_lo = jnp.ones(batch + (STATE_SIZE - RATE,), _U32)
+    cap_hi = jnp.zeros(batch + (STATE_SIZE - RATE,), _U32)
+    return (
+        jnp.concatenate([lo, cap_lo], axis=-1),
+        jnp.concatenate([hi, cap_hi], axis=-1),
+    )
+
+
+@jax.jit
+def hash_10(rate_input):
+    """Batched hash_10: limb planes (..., 10) -> (..., 5)."""
+    state = permutation(_fixed_length_state(rate_input))
+    return state[0][..., :5], state[1][..., :5]
+
+
+@jax.jit
+def hash_pair(left, right):
+    """Batched hash_pair: two (..., 5) digests -> (..., 5)."""
+    lo = jnp.concatenate([left[0], right[0]], axis=-1)
+    hi = jnp.concatenate([left[1], right[1]], axis=-1)
+    return hash_10((lo, hi))
+
+
+@functools.partial(jax.jit, static_argnames=("input_len",))
+def _hash_varlen_padded(padded, input_len: int):
+    """Batched variable-length hash of equal-length inputs.
+
+    padded: limb planes (..., ceil((input_len+1)/RATE)*RATE) that already
+    carry the 1,0,...,0 padding. Absorbs chunk-wise (overwrite + permute)
+    starting from the all-zero VariableLength state.
+    """
+    lo, hi = padded
+    batch = lo.shape[:-1]
+    total = lo.shape[-1]
+    state = (
+        jnp.zeros(batch + (STATE_SIZE,), _U32),
+        jnp.zeros(batch + (STATE_SIZE,), _U32),
+    )
+    for start in range(0, total, RATE):
+        state = (
+            jnp.concatenate([lo[..., start:start + RATE], state[0][..., RATE:]], -1),
+            jnp.concatenate([hi[..., start:start + RATE], state[1][..., RATE:]], -1),
+        )
+        state = permutation(state)
+    del input_len
+    return state[0][..., :5], state[1][..., :5]
+
+
+def hash_varlen(values) -> np.ndarray:
+    """Hash a batch of equal-length inputs: host uint64 (..., L) -> (..., 5)."""
+    values = np.asarray(values, dtype=np.uint64)
+    length = values.shape[-1]
+    pad_to = ((length + 1) + RATE - 1) // RATE * RATE
+    padded = np.zeros(values.shape[:-1] + (pad_to,), dtype=np.uint64)
+    padded[..., :length] = values
+    padded[..., length] = 1
+    out = _hash_varlen_padded(gf.to_limbs(padded), length)
+    return gf.from_limbs(out)
+
+
+def permutation_values(states) -> np.ndarray:
+    """Host-convenience: uint64 (..., 16) -> permuted uint64 (..., 16)."""
+    out = jax.jit(permutation)(gf.to_limbs(np.asarray(states, dtype=np.uint64)))
+    return gf.from_limbs(out)
+
+
+def trace_values(states) -> np.ndarray:
+    out = jax.jit(trace)(gf.to_limbs(np.asarray(states, dtype=np.uint64)))
+    return gf.from_limbs(out)
