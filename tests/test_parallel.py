@@ -1,0 +1,57 @@
+"""Distributed (multi-chip) tests on the 8-device virtual CPU mesh:
+four-step all-to-all NTT and sharded Merkle commit, bit-exact vs the
+single-chip paths."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from twenty_first_tpu.math import ntt
+from twenty_first_tpu.math.b_field_element import P
+from twenty_first_tpu.parallel import (
+    distributed_merkle_root,
+    distributed_ntt_values,
+    make_mesh,
+)
+from twenty_first_tpu.util_types.merkle_tree import MerkleTree
+
+RNG = np.random.default_rng(1234)
+
+
+def require_devices(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+@pytest.mark.parametrize("log_n", [8, 12])
+def test_distributed_ntt_matches_single_chip(n_dev, log_n):
+    require_devices(n_dev)
+    mesh = make_mesh(n_dev)
+    x = RNG.integers(0, P, size=1 << log_n, dtype=np.uint64)
+    want = ntt.ntt_values(x)
+    got = distributed_ntt_values(x, mesh)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("n_dev", [4])
+@pytest.mark.parametrize("log_n", [10])
+def test_distributed_intt_roundtrip(n_dev, log_n):
+    require_devices(n_dev)
+    mesh = make_mesh(n_dev)
+    x = RNG.integers(0, P, size=1 << log_n, dtype=np.uint64)
+    fwd = distributed_ntt_values(x, mesh)
+    back = distributed_ntt_values(fwd, mesh, inverse=True)
+    np.testing.assert_array_equal(back, x)
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+@pytest.mark.parametrize("log_n", [3, 10])
+def test_distributed_merkle_root(n_dev, log_n):
+    require_devices(n_dev)
+    mesh = make_mesh(n_dev)
+    leafs = RNG.integers(0, P, size=(1 << log_n, 5), dtype=np.uint64)
+    got = distributed_merkle_root(leafs, mesh)
+    want = MerkleTree.new(leafs).root()
+    assert got == want

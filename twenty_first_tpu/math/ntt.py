@@ -80,11 +80,16 @@ def _twiddles_host(log_n: int, inverse: bool) -> tuple[np.ndarray, ...]:
 
 @functools.lru_cache(maxsize=None)
 def _device_tables(log_n: int, inverse: bool):
+    """Host-side (numpy) tables. Kept as numpy — not device arrays — so that
+    traced code (jit / shard_map) can safely close over them as constants;
+    caching device arrays created inside a trace would leak tracers."""
     stages = _twiddles_host(log_n, inverse)
     dev = []
     for tw in stages:
-        dev.append(gf.to_limbs(tw))
-    perm = jnp.asarray(_bit_reverse_permutation(log_n))
+        lo = (tw & np.uint64(0xFFFF_FFFF)).astype(np.uint32)
+        hi = (tw >> np.uint64(32)).astype(np.uint32)
+        dev.append((lo, hi))
+    perm = _bit_reverse_permutation(log_n)
     return perm, tuple(dev)
 
 
@@ -113,12 +118,26 @@ def _ntt_core(x, perm, twiddles, log_n: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _device_twiddles(log_n: int, inverse: bool):
+    """Twiddle/permutation tables as device arrays, uploaded once per size.
+
+    Must only be called OUTSIDE jit traces (the arrays are cached); traced
+    code receives them as runtime arguments so that large tables are not
+    embedded in the compiled program (a 2^24 NTT has 128 MB of twiddles —
+    baking them into the HLO breaks compile-payload limits and bloats the
+    executable)."""
+    perm_np, stages_np = _device_tables(log_n, inverse)
+    perm = jnp.asarray(perm_np)
+    stages = tuple((jnp.asarray(lo), jnp.asarray(hi)) for lo, hi in stages_np)
+    return perm, stages
+
+
+@functools.lru_cache(maxsize=None)
 def _jitted_ntt(log_n: int, inverse: bool):
-    perm, twiddles = _device_tables(log_n, inverse)
     n_inv = pow(1 << log_n, P - 2, P)
 
     @jax.jit
-    def run(lo, hi):
+    def run(lo, hi, perm, twiddles):
         out_lo, out_hi = _ntt_core((lo, hi), perm, twiddles, log_n)
         if inverse:
             out_lo, out_hi = gf.mul_const((out_lo, out_hi), n_inv)
@@ -127,13 +146,28 @@ def _jitted_ntt(log_n: int, inverse: bool):
     return run
 
 
+def ntt_limbs_traceable(x, inverse: bool = False):
+    """Trace-composable last-axis NTT (no jit wrapper; tables are numpy
+    constants closed over by the caller's trace)."""
+    lo, hi = x
+    log_n = _check_len(lo.shape[-1])
+    if lo.shape[-1] <= 1:
+        return x
+    perm, twiddles = _device_tables(log_n, inverse)
+    out = _ntt_core((lo, hi), perm, twiddles, log_n)
+    if inverse:
+        out = gf.mul_const(out, pow(1 << log_n, P - 2, P))
+    return out
+
+
 def ntt_limbs(x, inverse: bool = False):
     """NTT over the last axis of limb planes (lo, hi). Shape-preserving."""
     lo, hi = x
     log_n = _check_len(lo.shape[-1])
     if lo.shape[-1] <= 1:
         return x
-    return _jitted_ntt(log_n, inverse)(lo, hi)
+    perm, twiddles = _device_twiddles(log_n, inverse)
+    return _jitted_ntt(log_n, inverse)(lo, hi, perm, twiddles)
 
 
 def intt_limbs(x):

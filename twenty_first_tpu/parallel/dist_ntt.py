@@ -1,0 +1,177 @@
+"""Distributed NTT: four-step (Bailey) decomposition over a device mesh.
+
+The reference's NTT is a single-threaded in-place butterfly loop
+(ntt.rs:195-214) that callers parallelize *across many independent NTTs*. To
+scale ONE transform across chips — the "tensor parallelism" of this library —
+we use the classic four-step factorization n = n1 * n2:
+
+    with j = j1 + n1*j2,  k = k2 + n2*k1:
+    X[k2 + n2*k1] = NTT_n1( w^(j1*k2) * NTT_n2( x[j1 + n1*j2] )_{over j2} )_{over j1}
+
+  1. view x as an (n2, n1) matrix (row-major), shard columns j1 over chips;
+  2. each chip runs *local* length-n2 NTTs over its column block;
+  3. multiply by the diagonal twiddles w^(j1*k2) (chip-local block);
+  4. one all-to-all transpose re-shards rows k2 over chips (the only
+     communication, riding ICI);
+  5. each chip runs local length-n1 NTTs;
+
+Output is the natural-order X viewed as an (n2, n1) matrix holding X^T
+(entry [k2, k1] = X[k2 + n2*k1]), sharded over rows k2 — i.e. X is sharded
+*cyclically*. `distributed_ntt` returns this transposed layout by default
+(pipelines that follow with an elementwise step don't care); pass
+`natural_output=True` to pay a second all-to-all for block-contiguous
+natural order.
+
+All arithmetic is the same gf limb-plane code as the single-chip path, so
+multi-chip results are bit-exact by construction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..math import gf
+from ..math import gf_numpy as gfn
+from ..math import ntt as ntt_mod
+from ..math.b_field_element import PRIMITIVE_ROOTS
+from ..math.b_field_element import P as FIELD_P
+from .mesh import AXIS
+
+
+def _split_sizes(log_n: int) -> tuple[int, int]:
+    """n1 (outer/natural-row) and n2 (inner) with n1 * n2 = 2^log_n."""
+    log_n1 = log_n // 2
+    return 1 << log_n1, 1 << (log_n - log_n1)
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle_matrix(log_n: int, inverse: bool) -> np.ndarray:
+    """w^(j1*k2) as an (n2, n1) uint64 matrix (rows k2, cols j1)."""
+    n = 1 << log_n
+    n1, n2 = _split_sizes(log_n)
+    root = PRIMITIVE_ROOTS[n]
+    if inverse:
+        root = pow(root, FIELD_P - 2, FIELD_P)
+    j1 = gfn.powers(root, n1)  # w^j1
+    # rows: w^(j1*k2) = (w^j1)^k2 — build by repeated Hadamard products
+    out = np.empty((n2, n1), dtype=np.uint64)
+    out[0] = 1
+    for k2 in range(1, n2):
+        out[k2] = gfn.mul(out[k2 - 1], j1)
+    return out
+
+
+def _local_ntt(x, log_m: int, inverse: bool):
+    """Local last-axis NTT using the single-chip tables (no collectives)."""
+    perm, twiddles = ntt_mod._device_tables(log_m, inverse)
+    return ntt_mod._ntt_core(x, perm, twiddles, log_m)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_distributed_ntt(mesh, log_n: int, inverse: bool,
+                          natural_output: bool):
+    n1, n2 = _split_sizes(log_n)
+    d = mesh.shape[AXIS]
+    if n1 % d or n2 % d:
+        raise ValueError(f"n1={n1}, n2={n2} must be divisible by mesh size {d}")
+    log_n1 = n1.bit_length() - 1
+    log_n2 = n2.bit_length() - 1
+    n_inv = pow(1 << log_n, FIELD_P - 2, FIELD_P)
+
+    def local(lo, hi, tw_lo, tw_hi):
+        # lo, hi: (n2, n1/d) — this chip's column block (j1 sharded).
+        # Step 2: local NTTs over j2. _local_ntt transforms the LAST axis,
+        # so transpose in and out.
+        xt = _local_ntt((lo.T, hi.T), log_n2, inverse)
+        y = (xt[0].T, xt[1].T)  # (n2, n1/d), rows now k2
+        y = gf.mul(y, (tw_lo, tw_hi))
+        # all-to-all transpose: shard rows k2, gather all columns j1
+        ylo = jax.lax.all_to_all(y[0], AXIS, split_axis=0, concat_axis=1,
+                                 tiled=True)
+        yhi = jax.lax.all_to_all(y[1], AXIS, split_axis=0, concat_axis=1,
+                                 tiled=True)
+        # (n2/d, n1): local NTT over j1 (last axis)
+        z = _local_ntt((ylo, yhi), log_n1, inverse)
+        if inverse:
+            z = gf.mul_const(z, n_inv)
+        return z[0], z[1]
+
+    in_specs = (P(None, AXIS), P(None, AXIS), P(None, AXIS), P(None, AXIS))
+    out_specs = (P(AXIS, None), P(AXIS, None))
+    fn = shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+    def natural(zlo, zhi):
+        # z is (n2, n1) holding X^T sharded over rows; a second all-to-all
+        # plus local transpose yields natural-order (n1, n2) sharded rows.
+        def tr(lo, hi):
+            lo = jax.lax.all_to_all(lo, AXIS, split_axis=1, concat_axis=0,
+                                    tiled=True)
+            hi = jax.lax.all_to_all(hi, AXIS, split_axis=1, concat_axis=0,
+                                    tiled=True)
+            return lo.T, hi.T
+
+        return shard_map(tr, mesh=mesh, in_specs=(P(AXIS, None), P(AXIS, None)),
+                         out_specs=(P(AXIS, None), P(AXIS, None)))(zlo, zhi)
+
+    @jax.jit
+    def run(lo, hi, tw_lo, tw_hi):
+        # The (n2, n1) diagonal-twiddle matrix is a runtime argument, not a
+        # baked constant: at 2^26 it is half a gigabyte of table.
+        zlo, zhi = fn(lo, hi, tw_lo, tw_hi)
+        if natural_output:
+            zlo, zhi = natural(zlo, zhi)
+        return zlo, zhi
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle_device(mesh, log_n: int, inverse: bool):
+    """Column-sharded device copy of the diagonal twiddle matrix."""
+    tw = _twiddle_matrix(log_n, inverse)
+    sharding = NamedSharding(mesh, P(None, AXIS))
+    lo, hi = gf.to_limbs(tw)
+    return (jax.device_put(lo, sharding), jax.device_put(hi, sharding))
+
+
+def distributed_ntt(x, mesh, inverse: bool = False,
+                    natural_output: bool = False):
+    """Distributed NTT of limb planes shaped (n2, n1) (see module docstring).
+
+    Input: the coefficient vector x viewed as matrix M[j2, j1] = x[j1 + n1*j2]
+    (i.e. `x.reshape(n2, n1)`). Output: (n2, n1) matrix Z with
+    Z[k2, k1] = X[k2 + n2*k1]; pass natural_output=True for an (n1, n2)
+    matrix holding X in row-major natural order.
+    """
+    lo, hi = x
+    n2, n1 = lo.shape
+    log_n = (n1 * n2).bit_length() - 1
+    if (1 << log_n) != n1 * n2:
+        raise ValueError("total size must be a power of two")
+    expect_n1, expect_n2 = _split_sizes(log_n)
+    if (n1, n2) != (expect_n1, expect_n2):
+        raise ValueError(
+            f"input must be shaped (n2, n1) = ({expect_n2}, {expect_n1})"
+        )
+    tw_lo, tw_hi = _twiddle_device(mesh, log_n, inverse)
+    return _make_distributed_ntt(mesh, log_n, inverse, natural_output)(
+        lo, hi, tw_lo, tw_hi
+    )
+
+
+def distributed_ntt_values(values: np.ndarray, mesh, inverse: bool = False
+                           ) -> np.ndarray:
+    """Host-convenience: uint64 vector (n,) -> natural-order NTT via the mesh."""
+    values = np.asarray(values, dtype=np.uint64)
+    n = values.shape[-1]
+    log_n = n.bit_length() - 1
+    n1, n2 = _split_sizes(log_n)
+    x = gf.to_limbs(values.reshape(n2, n1))
+    zlo, zhi = distributed_ntt(x, mesh, inverse=inverse, natural_output=True)
+    return gf.from_limbs((zlo, zhi)).reshape(-1)

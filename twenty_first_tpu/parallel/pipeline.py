@@ -1,0 +1,96 @@
+"""STARK LDE + commit pipeline — the framework's flagship end-to-end step.
+
+Single-chip and mesh-sharded variants of the standard STARK workload this
+library exists for (BASELINE.json config 4): low-degree-extend a trace
+(coset/plain NTT) and commit to it with a Tip5 Merkle tree.
+
+The distributed variant chains, inside ONE jitted step:
+  1. the four-step NTT (dist_ntt): local NTTs + diagonal twiddles + one
+     all-to-all transpose over the mesh axis;
+  2. row hashing: each chip Tip5-hashes its rows of the evaluation matrix
+     into leaf digests (pure local compute);
+  3. the sharded Merkle reduction (dist_merkle): local subtree roots, one
+     small all-gather, redundant top tree.
+
+This is the library's analogue of a "sharded training step": compute is
+chip-local, the only collectives are the NTT transpose and the root gather.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from ..math import gf
+from ..math import ntt as ntt_mod
+from ..tip5 import permutation as tip5_dev
+from ..tip5.digest import Digest
+from .mesh import AXIS
+from . import dist_ntt
+from . import dist_merkle
+
+
+def lde_commit(x):
+    """Single-chip LDE + commit on limb planes (rows, n).
+
+    NTT each row, Tip5-hash each evaluation row into a leaf digest, reduce
+    to a Merkle root over the `rows` leafs. Returns (1, 5) limb planes.
+    Trace-composable; `rows` must be a power of two.
+    """
+    z = ntt_mod.ntt_limbs_traceable(x)
+    leafs = tip5_dev.hash_varlen_padded(tip5_dev.pad_for_varlen(z))
+    log_rows = leafs[0].shape[0].bit_length() - 1
+    return dist_merkle._reduce_layers(leafs, log_rows)
+
+
+@functools.lru_cache(maxsize=None)
+def make_dist_lde_commit(mesh, log_n: int):
+    """Jitted distributed LDE+commit: (n2, n1) column-sharded coefficient
+    matrix -> replicated (1, 5) Merkle root limb planes."""
+    n1, n2 = dist_ntt._split_sizes(log_n)
+    d = mesh.shape[AXIS]
+    log_d = d.bit_length() - 1
+    ntt_run = dist_ntt._make_distributed_ntt(mesh, log_n, False, False)
+    log_n2 = n2.bit_length() - 1
+
+    def hash_rows(lo, hi):
+        # (n2/d, n1) local evaluation rows -> (n2/d, 5) leaf digests
+        return tip5_dev.hash_varlen_padded(tip5_dev.pad_for_varlen((lo, hi)))
+
+    hash_fn = shard_map(
+        hash_rows, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS, None)),
+        out_specs=(P(AXIS, None), P(AXIS, None)),
+    )
+    merkle_fn = dist_merkle._make_distributed_root(mesh, log_n2)
+
+    @jax.jit
+    def run(lo, hi, tw_lo, tw_hi):
+        zlo, zhi = ntt_run(lo, hi, tw_lo, tw_hi)
+        hlo, hhi = hash_fn(zlo, zhi)
+        rlo, rhi = merkle_fn(hlo, hhi)
+        return rlo[:1], rhi[:1]
+
+    def wrapped(lo, hi):
+        tw_lo, tw_hi = dist_ntt._twiddle_device(mesh, log_n, False)
+        return run(lo, hi, tw_lo, tw_hi)
+
+    del log_d, n1
+    return wrapped
+
+
+def dist_lde_commit_values(values: np.ndarray, mesh) -> Digest:
+    """Host-convenience: coefficient vector (n,) -> committed Merkle root."""
+    values = np.asarray(values, dtype=np.uint64)
+    n = values.shape[-1]
+    log_n = n.bit_length() - 1
+    n1, n2 = dist_ntt._split_sizes(log_n)
+    lo, hi = make_dist_lde_commit(mesh, log_n)(
+        *gf.to_limbs(values.reshape(n2, n1))
+    )
+    return Digest.from_array(gf.from_limbs((lo, hi))[0])

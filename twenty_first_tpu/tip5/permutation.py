@@ -190,13 +190,12 @@ def hash_pair(left, right):
     return hash_10((lo, hi))
 
 
-@functools.partial(jax.jit, static_argnames=("input_len",))
-def _hash_varlen_padded(padded, input_len: int):
-    """Batched variable-length hash of equal-length inputs.
+def hash_varlen_padded(padded):
+    """Batched variable-length hash of already-padded equal-length inputs.
 
-    padded: limb planes (..., ceil((input_len+1)/RATE)*RATE) that already
-    carry the 1,0,...,0 padding. Absorbs chunk-wise (overwrite + permute)
-    starting from the all-zero VariableLength state.
+    padded: limb planes (..., k*RATE) that already carry the 1,0,...,0
+    padding. Absorbs chunk-wise (overwrite + permute) starting from the
+    all-zero VariableLength state. Trace-composable (plain function).
     """
     lo, hi = padded
     batch = lo.shape[:-1]
@@ -211,8 +210,27 @@ def _hash_varlen_padded(padded, input_len: int):
             jnp.concatenate([hi[..., start:start + RATE], state[1][..., RATE:]], -1),
         )
         state = permutation(state)
-    del input_len
     return state[0][..., :5], state[1][..., :5]
+
+
+def pad_for_varlen(x):
+    """Append the 1,0,...,0 sponge padding to limb planes (..., L) in-graph."""
+    lo, hi = x
+    length = lo.shape[-1]
+    pad_to = ((length + 1) + RATE - 1) // RATE * RATE
+    batch = lo.shape[:-1]
+    marker_lo = jnp.ones(batch + (1,), _U32)
+    zeros_lo = jnp.zeros(batch + (pad_to - length - 1,), _U32)
+    zeros_hi = jnp.zeros(batch + (pad_to - length,), _U32)
+    return (
+        jnp.concatenate([lo, marker_lo, zeros_lo], axis=-1),
+        jnp.concatenate([hi, zeros_hi], axis=-1),
+    )
+
+
+@jax.jit
+def _hash_varlen_padded(padded):
+    return hash_varlen_padded(padded)
 
 
 def hash_varlen(values) -> np.ndarray:
@@ -223,7 +241,7 @@ def hash_varlen(values) -> np.ndarray:
     padded = np.zeros(values.shape[:-1] + (pad_to,), dtype=np.uint64)
     padded[..., :length] = values
     padded[..., length] = 1
-    out = _hash_varlen_padded(gf.to_limbs(padded), length)
+    out = _hash_varlen_padded(gf.to_limbs(padded))
     return gf.from_limbs(out)
 
 
