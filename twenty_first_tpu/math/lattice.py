@@ -1,0 +1,438 @@
+"""Lattice crypto in the ring F_p[X]/(X^64 + 1): negacyclic coset-NTT,
+module algebra over the ring, message embedding, short/uniform samplers, and
+an IND-CCA2 (Fujisaki-Okamoto) KEM.
+
+Mirrors twenty-first/src/math/lattice.rs. The reference hard-codes the
+bit-reversed tables of powers of psi (a 128th root of unity with
+psi^64 == -1, psi == 2198989700608); here the same tables are *derived* from
+the verified layout
+
+    table[m + i] = psi^( (64 / (2m)) * (2 * bitrev(i, log2 m) + 1) )
+
+which reproduces the reference's constants exactly (pinned in tests), so the
+NTT-domain wire format (ciphertexts store NTT-domain coefficients!) is
+bit-identical. Ring ops are vectorized numpy over (..., 64) blocks on the
+host; SHAKE256/SHA3-256 come from hashlib (FIPS 202).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import gf_numpy as gfn
+from .b_field_element import BFieldElement, bfe, P
+
+N = 64
+LOG_N = 6
+CYCLOTOMIC_RING_ELEMENT_SIZE_IN_BFES = N
+
+# psi: 128th root of unity with psi^64 == -1 (the reference's table base).
+PSI = 2198989700608
+PSI_INV = pow(PSI, P - 2, P)
+N_INV = pow(N, P - 2, P)
+assert pow(PSI, 64, P) == P - 1
+
+
+def _bitrev(x: int, width: int) -> int:
+    r = 0
+    for _ in range(width):
+        r = (r << 1) | (x & 1)
+        x >>= 1
+    return r
+
+
+def _psi_table(base: int) -> np.ndarray:
+    table = np.zeros(N, dtype=np.uint64)
+    table[0] = 1
+    m = 1
+    while m < N:
+        log_m = m.bit_length() - 1
+        for i in range(m):
+            e = (N // (2 * m)) * (2 * _bitrev(i, log_m) + 1)
+            table[m + i] = pow(base, e, P)
+        m *= 2
+    return table
+
+
+POWERS_OF_PSI_BITREVERSED = _psi_table(PSI)
+POWERS_OF_PSI_INV_BITREVERSED = _psi_table(PSI_INV)
+
+
+def coset_ntt_noswap_64(array: np.ndarray) -> np.ndarray:
+    """Forward negacyclic NTT, Cooley-Tukey, no bit-reversal swap
+    (lattice.rs:113-201). Vectorized over leading dims of (..., 64)."""
+    a = np.array(array, dtype=np.uint64)
+    m, t = 1, N
+    while m < N:
+        t >>= 1
+        for i in range(m):
+            s = i * t * 2
+            zeta = POWERS_OF_PSI_BITREVERSED[m + i]
+            u = a[..., s: s + t].copy()
+            v = gfn.mul(a[..., s + t: s + 2 * t], zeta)
+            a[..., s: s + t] = gfn.add(u, v)
+            a[..., s + t: s + 2 * t] = gfn.sub(u, v)
+        m *= 2
+    return a
+
+
+def coset_intt_noswap_64(array: np.ndarray) -> np.ndarray:
+    """Inverse negacyclic NTT, Gentleman-Sande (lattice.rs:17-111)."""
+    a = np.array(array, dtype=np.uint64)
+    t, h = 1, N // 2
+    for _ in range(LOG_N):
+        k = 0
+        for i in range(h):
+            zeta = POWERS_OF_PSI_INV_BITREVERSED[h + i]
+            u = a[..., k: k + t].copy()
+            v = a[..., k + t: k + 2 * t].copy()
+            a[..., k: k + t] = gfn.add(u, v)
+            a[..., k + t: k + 2 * t] = gfn.mul(gfn.sub(u, v), zeta)
+            k += 2 * t
+        t *= 2
+        h >>= 1
+    return gfn.mul(a, np.uint64(N_INV))
+
+
+class CyclotomicRingElement:
+    """A residue class in F_p[X]/(X^64+1), 64 coefficients (np.uint64)."""
+
+    __slots__ = ("coefficients",)
+
+    def __init__(self, coefficients):
+        arr = _as_u64_array(coefficients, N)
+        self.coefficients = arr
+
+    @classmethod
+    def zero(cls) -> "CyclotomicRingElement":
+        return cls(np.zeros(N, dtype=np.uint64))
+
+    def is_zero(self) -> bool:
+        return not self.coefficients.any()
+
+    @classmethod
+    def sample_short(cls, randomness: bytes) -> "CyclotomicRingElement":
+        assert len(randomness) >= 8 * N
+        coeffs = [
+            sample_short_bfield_element(randomness[8 * i: 8 * i + 8]).value()
+            for i in range(N)
+        ]
+        return cls(np.array(coeffs, dtype=np.uint64))
+
+    @classmethod
+    def sample_uniform(cls, randomness: bytes) -> "CyclotomicRingElement":
+        assert len(randomness) >= 9 * N
+        coeffs = np.zeros(N, dtype=np.uint64)
+        for i in range(N):
+            acc = int.from_bytes(randomness[9 * i: 9 * i + 9], "big") % P
+            coeffs[i] = acc
+        return cls(coeffs)
+
+    @staticmethod
+    def hadamard(a: "CyclotomicRingElement", b: "CyclotomicRingElement"
+                 ) -> "CyclotomicRingElement":
+        return CyclotomicRingElement(gfn.mul(a.coefficients, b.coefficients))
+
+    def ntt(self) -> "CyclotomicRingElement":
+        return CyclotomicRingElement(coset_ntt_noswap_64(self.coefficients))
+
+    def intt(self) -> "CyclotomicRingElement":
+        return CyclotomicRingElement(coset_intt_noswap_64(self.coefficients))
+
+    def __add__(self, other):
+        return CyclotomicRingElement(
+            gfn.add(self.coefficients, other.coefficients)
+        )
+
+    def __sub__(self, other):
+        return CyclotomicRingElement(
+            gfn.sub(self.coefficients, other.coefficients)
+        )
+
+    def __mul__(self, other):
+        """Negacyclic multiplication via coset-NTT (lattice.rs:299-319)."""
+        a = coset_ntt_noswap_64(self.coefficients)
+        b = coset_ntt_noswap_64(other.coefficients)
+        return CyclotomicRingElement(coset_intt_noswap_64(gfn.mul(a, b)))
+
+    def __eq__(self, other):
+        return isinstance(other, CyclotomicRingElement) and \
+            np.array_equal(self.coefficients, other.coefficients)
+
+    def to_bfes(self) -> list[BFieldElement]:
+        return [bfe(int(c)) for c in self.coefficients]
+
+
+def embed_msg(msg: bytes) -> CyclotomicRingElement:
+    """32-byte message -> ring element: one bit per 16-bit chunk, at bit 15
+    (lattice.rs:333-353)."""
+    assert len(msg) == 32
+    embedding = np.zeros(N, dtype=np.uint64)
+    for i, byte in enumerate(msg):
+        lo = 0
+        for j in range(4):
+            lo += ((byte >> j) & 1) << (15 + 16 * j)
+        embedding[2 * i] = lo
+        hi = 0
+        for j in range(4):
+            hi += ((byte >> (4 + j)) & 1) << (15 + 16 * j)
+        embedding[2 * i + 1] = hi
+    return CyclotomicRingElement(embedding)
+
+
+def extract_msg(embedding: CyclotomicRingElement) -> bytes:
+    """Round each 16-bit chunk to the nearest embedded bit (lattice.rs:355-387)."""
+    msg = bytearray(32)
+    coeffs = embedding.coefficients
+    for ctr in range(32):
+        byte = 0
+        for half in range(2):
+            value = int(coeffs[2 * ctr + half])
+            for j in range(4):
+                chunk = value & 0xFFFF
+                value >>= 16
+                bit = 0 if (chunk < (1 << 14) or (1 << 16) - chunk < (1 << 14)) \
+                    else 1
+                byte |= bit << (4 * half + j)
+        msg[ctr] = byte
+    return bytes(msg)
+
+
+_NUM_SET_BITS = np.array([bin(i).count("1") for i in range(256)],
+                         dtype=np.uint64)
+
+
+def sample_short_bfield_element(randomness: bytes) -> BFieldElement:
+    """Centered-binomial-ish sampler: popcount difference of two 4-byte
+    halves, packed into 16-bit chunks (lattice.rs:410-421)."""
+    assert len(randomness) == 8
+    left = sum(
+        int(_NUM_SET_BITS[randomness[i]]) << (16 * (3 - i)) for i in range(4)
+    )
+    right = sum(
+        int(_NUM_SET_BITS[randomness[4 + i]]) << (16 * (3 - i))
+        for i in range(4)
+    )
+    return bfe(left) - bfe(right)
+
+
+class ModuleElement:
+    """A matrix of ring elements, stored flat as (n, 64) np.uint64
+    (mirrors ModuleElement<N>, lattice.rs:426-590)."""
+
+    __slots__ = ("elements",)
+
+    def __init__(self, elements):
+        if isinstance(elements, np.ndarray):
+            assert elements.ndim == 2 and elements.shape[1] == N
+            self.elements = elements.astype(np.uint64)
+        else:
+            self.elements = np.stack(
+                [e.coefficients if isinstance(e, CyclotomicRingElement)
+                 else _as_u64_array(e, N) for e in elements]
+            )
+
+    @property
+    def n(self) -> int:
+        return self.elements.shape[0]
+
+    @classmethod
+    def zero(cls, n: int) -> "ModuleElement":
+        return cls(np.zeros((n, N), dtype=np.uint64))
+
+    @classmethod
+    def sample_short(cls, randomness: bytes, n: int) -> "ModuleElement":
+        assert len(randomness) >= 8 * N * n
+        return cls([
+            CyclotomicRingElement.sample_short(
+                randomness[8 * N * i: 8 * N * (i + 1)]
+            )
+            for i in range(n)
+        ])
+
+    @classmethod
+    def sample_uniform(cls, randomness: bytes, n: int) -> "ModuleElement":
+        assert len(randomness) >= 9 * N * n
+        return cls([
+            CyclotomicRingElement.sample_uniform(
+                randomness[9 * N * i: 9 * N * (i + 1)]
+            )
+            for i in range(n)
+        ])
+
+    def ntt(self) -> "ModuleElement":
+        return ModuleElement(coset_ntt_noswap_64(self.elements))
+
+    def intt(self) -> "ModuleElement":
+        return ModuleElement(coset_intt_noswap_64(self.elements))
+
+    def ring_element(self, i: int) -> CyclotomicRingElement:
+        return CyclotomicRingElement(self.elements[i])
+
+    @staticmethod
+    def multiply_hadamard(lhs: "ModuleElement", rhs: "ModuleElement",
+                          h: int, inner: int, w: int) -> "ModuleElement":
+        """Matrix multiply with Hadamard ring products (NTT domain)."""
+        assert lhs.n == h * inner and rhs.n == inner * w
+        lm = lhs.elements.reshape(h, inner, N)
+        rm = rhs.elements.reshape(inner, w, N)
+        out = np.zeros((h, w, N), dtype=np.uint64)
+        for i in range(inner):
+            prod = gfn.mul(lm[:, i, None, :], rm[None, i, :, :])
+            out = gfn.add(out, prod)
+        return ModuleElement(out.reshape(h * w, N))
+
+    @staticmethod
+    def multiply(lhs: "ModuleElement", rhs: "ModuleElement",
+                 h: int, inner: int, w: int) -> "ModuleElement":
+        """Matrix multiply with full (coefficient-domain) ring products."""
+        assert lhs.n == h * inner and rhs.n == inner * w
+        out = [[CyclotomicRingElement.zero() for _ in range(w)]
+               for _ in range(h)]
+        for r in range(h):
+            for c in range(w):
+                for i in range(inner):
+                    out[r][c] = out[r][c] + (
+                        lhs.ring_element(r * inner + i)
+                        * rhs.ring_element(i * w + c)
+                    )
+        return ModuleElement([out[r][c] for r in range(h) for c in range(w)])
+
+    @staticmethod
+    def fast_multiply(lhs: "ModuleElement", rhs: "ModuleElement",
+                      h: int, inner: int, w: int) -> "ModuleElement":
+        """NTT -> Hadamard matmul -> iNTT (lattice.rs fast_multiply)."""
+        out_ntt = ModuleElement.multiply_hadamard(
+            lhs.ntt(), rhs.ntt(), h, inner, w
+        )
+        return out_ntt.intt()
+
+    def __add__(self, other):
+        return ModuleElement(gfn.add(self.elements, other.elements))
+
+    def __sub__(self, other):
+        return ModuleElement(gfn.sub(self.elements, other.elements))
+
+    def __eq__(self, other):
+        return isinstance(other, ModuleElement) and \
+            np.array_equal(self.elements, other.elements)
+
+
+def _as_u64_array(values, expected_len: int) -> np.ndarray:
+    if isinstance(values, np.ndarray) and values.dtype == np.uint64:
+        arr = values.copy()
+    else:
+        arr = np.array(
+            [v.value() if isinstance(v, BFieldElement) else int(v)
+             for v in values],
+            dtype=np.uint64,
+        )
+    assert arr.shape == (expected_len,)
+    return arr
+
+
+# ---------------------------------------------------------------------------
+# KEM (lattice.rs mod kem, :632-835): IND-CCA2 via Fujisaki-Okamoto
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SecretKey:
+    key: bytes  # 32 bytes
+    seed: bytes  # 32 bytes
+
+
+@dataclass
+class PublicKey:
+    seed: bytes  # 32 bytes
+    ga: ModuleElement  # 4-vector, NTT domain
+
+
+@dataclass
+class Ciphertext:
+    bg: ModuleElement  # 4-vector, NTT domain
+    bga_m: ModuleElement  # 1-vector, NTT domain
+
+    def to_bfes(self) -> list[BFieldElement]:
+        flat = np.concatenate([self.bg.elements.reshape(-1),
+                               self.bga_m.elements.reshape(-1)])
+        return [bfe(int(v)) for v in flat]
+
+    @classmethod
+    def from_bfes(cls, elements) -> "Ciphertext":
+        assert len(elements) == CIPHERTEXT_SIZE_IN_BFES
+        flat = np.array([bfe(e).value() for e in elements], dtype=np.uint64)
+        return cls(
+            bg=ModuleElement(flat[: 4 * N].reshape(4, N)),
+            bga_m=ModuleElement(flat[4 * N:].reshape(1, N)),
+        )
+
+
+CIPHERTEXT_SIZE_IN_BFES = N * 5
+
+
+def shake256(data: bytes, num_out_bytes: int) -> bytes:
+    return hashlib.shake_256(data).digest(num_out_bytes)
+
+
+def _derive_public_matrix(seed: bytes) -> ModuleElement:
+    randomness = shake256(seed, 9 * 64 * 16)
+    return ModuleElement.sample_uniform(randomness, 16)
+
+
+def _derive_secret_vectors(seed: bytes) -> tuple[ModuleElement, ModuleElement]:
+    num_bytes = 2 * 4 * 64 * 8
+    randomness = shake256(seed, num_bytes)
+    a = ModuleElement.sample_short(randomness[: num_bytes // 2], 4)
+    b = ModuleElement.sample_short(randomness[num_bytes // 2:], 4)
+    return a, b
+
+
+def _derive_public_key(key: bytes, seed: bytes) -> PublicKey:
+    a, c = _derive_secret_vectors(key)
+    g = _derive_public_matrix(seed)
+    ga = ModuleElement.multiply_hadamard(g, a.ntt(), 4, 4, 1) + c.ntt()
+    return PublicKey(seed=seed, ga=ga)
+
+
+def keygen(randomness: bytes) -> tuple[SecretKey, PublicKey]:
+    assert len(randomness) == 32
+    seed = shake256(randomness + b"\x00", 32)
+    key = shake256(randomness + b"\x01", 32)
+    sk = SecretKey(key=key, seed=seed)
+    pk = _derive_public_key(key, seed)
+    return sk, pk
+
+
+def _generate_ciphertext_derandomized(pk: PublicKey, payload: bytes
+                                      ) -> Ciphertext:
+    b, d = _derive_secret_vectors(payload)
+    b_ntt = b.ntt()
+    d_ntt = d.ntt()
+    g = _derive_public_matrix(pk.seed)
+    bg = ModuleElement.multiply_hadamard(b_ntt, g, 1, 4, 4) + d_ntt
+    m = embed_msg(payload)
+    bga_m = ModuleElement.multiply_hadamard(b_ntt, pk.ga, 1, 4, 1) + \
+        ModuleElement([m]).ntt()
+    return Ciphertext(bg=bg, bga_m=bga_m)
+
+
+def enc(pk: PublicKey, randomness: bytes) -> tuple[bytes, Ciphertext]:
+    payload = shake256(randomness, 32)
+    ciphertext = _generate_ciphertext_derandomized(pk, payload)
+    shared_key = hashlib.sha3_256(payload).digest()
+    return shared_key, ciphertext
+
+
+def dec(sk: SecretKey, ctxt: Ciphertext) -> bytes | None:
+    a, _ = _derive_secret_vectors(sk.key)
+    bga = ModuleElement.multiply_hadamard(ctxt.bg, a.ntt(), 1, 4, 1)
+    m = (ctxt.bga_m - bga).intt()
+    payload = extract_msg(m.ring_element(0))
+    pk = _derive_public_key(sk.key, sk.seed)
+    if _generate_ciphertext_derandomized(pk, payload) != ctxt:
+        return None
+    return hashlib.sha3_256(payload).digest()
