@@ -1,78 +1,109 @@
 """Benchmark harness: prints ONE JSON line with the headline metric.
 
-Headline: Goldilocks NTT 2^24 throughput (elements/s) on one chip — the
-BASELINE.json north-star per-chip metric. Extras: Tip5 permutation
-throughput (hashes/s), Merkle 2^20-leaf commit time, LDE+commit pipeline.
+Headline: Goldilocks NTT 2^24 throughput (elements/s) on one chip. Extras:
+Tip5 permutation throughput and the Merkle 2^20-leaf commit.
+
+Timing methodology: the remote-TPU tunnel in this environment makes
+`block_until_ready` non-blocking and per-call readbacks expensive, so naive
+per-call timing is dishonest in both directions. Each kernel is therefore
+timed as a *k-fold chained application inside one jit* with an in-graph
+checksum reduced to a scalar; the difference t(k_hi) - t(k_lo) divided by
+(k_hi - k_lo) isolates pure device compute from dispatch/transfer overhead.
 
 The reference publishes no absolute numbers (BASELINE.md), so vs_baseline
-is reported against a locally-measured CPU oracle where meaningful, else 1.0.
+is 1.0 against the empty published set. A persistent XLA compilation cache
+(.jax_cache) makes repeat runs skip compilation.
 """
 
+import functools
 import json
-import sys
+import os
 import time
 
 import numpy as np
 
 
-def _bench(fn, *args, warmup=2, iters=5):
-    import jax
-
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        times.append(time.perf_counter() - t0)
-    return min(times)
-
-
 def main():
+    t_start = time.time()
+    budget = float(os.environ.get("BENCH_BUDGET_S", "480"))
+
     import jax
+    import jax.numpy as jnp
+
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from twenty_first_tpu.math import gf, ntt
     from twenty_first_tpu.tip5 import permutation as tip5_dev
 
     rng = np.random.default_rng(0)
     p = (1 << 64) - (1 << 32) + 1
-    extras = {}
+    extras = {"device": str(jax.devices()[0])}
 
-    # --- headline: NTT 2^24 ------------------------------------------------
-    log_n = 24
+    def remaining():
+        return budget - (time.time() - t_start)
+
+    def timed_chain(fn, args, k_lo, k_hi, reps=3):
+        """min over reps of t(k_hi)-t(k_lo), divided by (k_hi-k_lo)."""
+        for k in (k_lo, k_hi):  # compile both variants
+            int(fn(*args, k=k))
+        lows, highs = [], []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            int(fn(*args, k=k_lo))
+            lows.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            int(fn(*args, k=k_hi))
+            highs.append(time.perf_counter() - t0)
+        return (min(highs) - min(lows)) / (k_hi - k_lo)
+
+    # --- headline: NTT 2^24 (four-step) ------------------------------------
+    log_n = int(os.environ.get("BENCH_NTT_LOG_N", "24"))
     n = 1 << log_n
-    data = rng.integers(0, p, size=n, dtype=np.uint64)
-    lo, hi = gf.to_limbs(data)
-    lo, hi = jax.device_put(lo), jax.device_put(hi)
-    perm, twiddles = ntt._device_twiddles(log_n, False)
-    run = ntt._jitted_ntt(log_n, False)
-    t = _bench(run, lo, hi, perm, twiddles)
-    ntt_elems_per_s = n / t
-    extras["ntt_2^24_s"] = t
+    x = rng.integers(0, p, size=n, dtype=np.uint64)
+    lo, hi = (jax.device_put(v) for v in gf.to_limbs(x))
+    diag = ntt._four_step_diag_device(log_n, False)
 
-    # --- Tip5 permutation throughput --------------------------------------
-    batch = 1 << 19
-    states = rng.integers(0, p, size=(batch, 16), dtype=np.uint64)
-    slo, shi = (jax.device_put(v) for v in gf.to_limbs(states))
-    perm = jax.jit(tip5_dev.permutation)
-    t_perm = _bench(lambda a, b: perm((a, b)), slo, shi)
-    extras["tip5_permutations_per_s"] = batch / t_perm
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def ntt_chain(a, b, dlo, dhi, k):
+        def body(i, st):
+            return ntt.four_step_ntt_traceable(st, log_n, False, (dlo, dhi))
+        o = jax.lax.fori_loop(0, k, body, (a, b))
+        return jnp.sum(o[0], dtype=jnp.uint32) + jnp.sum(o[1], dtype=jnp.uint32)
 
-    # --- Merkle 2^20 commit ------------------------------------------------
-    from twenty_first_tpu.parallel.dist_merkle import _reduce_layers
+    t_ntt = timed_chain(ntt_chain, (lo, hi, diag[0], diag[1]), 1, 5)
+    ntt_elems_per_s = n / t_ntt
+    extras[f"ntt_2^{log_n}_s"] = t_ntt
 
-    log_leafs = 20
-    leafs = rng.integers(0, p, size=(1 << log_leafs, 5), dtype=np.uint64)
-    llo, lhi = (jax.device_put(v) for v in gf.to_limbs(leafs))
-    commit = jax.jit(lambda a, b: _reduce_layers((a, b), log_leafs))
-    t_merkle = _bench(lambda a, b: commit(a, b), llo, lhi, warmup=1, iters=3)
-    extras["merkle_2^20_commit_s"] = t_merkle
-    extras["merkle_2^20_hashes_per_s"] = ((1 << log_leafs) - 1) / t_merkle
+    # --- Tip5 permutation throughput ---------------------------------------
+    if remaining() > 120:
+        batch = 1 << 19
+        states = rng.integers(0, p, size=(batch, 16), dtype=np.uint64)
+        slo, shi = (jax.device_put(v) for v in gf.to_limbs(states))
 
-    extras["device"] = str(jax.devices()[0])
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def perm_chain(a, b, k):
+            def body(i, st):
+                return tip5_dev.permutation(st)
+            o = jax.lax.fori_loop(0, k, body, (a, b))
+            return (jnp.sum(o[0], dtype=jnp.uint32)
+                    + jnp.sum(o[1], dtype=jnp.uint32))
+
+        t_perm = timed_chain(perm_chain, (slo, shi), 1, 17)
+        extras["tip5_permutations_per_s"] = batch / t_perm
+
+        # Merkle 2^20 commit is hash-pair bound: 2^20 - 1 permutations.
+        extras["merkle_2^20_commit_s_derived"] = ((1 << 20) - 1) / (
+            batch / t_perm
+        )
 
     result = {
-        "metric": "ntt_2^24_goldilocks_elems_per_s_per_chip",
+        "metric": f"ntt_2^{log_n}_goldilocks_elems_per_s_per_chip",
         "value": ntt_elems_per_s,
         "unit": "elements/s",
         "vs_baseline": 1.0,

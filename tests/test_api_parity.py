@@ -1,0 +1,102 @@
+"""API parity additions: digest<->xfe conversions, flat views, cyclic group
+elements, power accumulator, digest corruptor, mmra_with_mps fixture, and
+the prelude surface."""
+
+import numpy as np
+import pytest
+
+from twenty_first_tpu.errors import TryFromXFieldElementError
+from twenty_first_tpu.prelude import (
+    ArchivalMmr,
+    BFieldElement,
+    Digest,
+    LeafMutation,
+    MerkleTree,
+    Mmr,
+    MmrAccumulator,
+    MmrMembershipProof,
+    MmrSuccessorProof,
+    Polynomial,
+    Sponge,
+    Tip5,
+    XFieldElement,
+    bfe,
+    bfe_vec,
+    xfe,
+    xfe_vec,
+)
+from twenty_first_tpu.math.x_field_element import as_flat_list
+from twenty_first_tpu.tip5.digest import DigestCorruptor
+from twenty_first_tpu.util_types.mmr.mmr_accumulator import mmra_with_mps
+
+RNG = np.random.default_rng(6)
+
+
+def test_xfe_digest_roundtrip():
+    x = xfe((1, 2, 3))
+    d = x.to_digest()
+    assert d == Digest([1, 2, 3, 0, 0])
+    assert XFieldElement.try_from_digest(d) == x
+    with pytest.raises(TryFromXFieldElementError):
+        XFieldElement.try_from_digest(Digest([1, 2, 3, 4, 0]))
+
+
+def test_as_flat_list():
+    xs = xfe_vec([(1, 2, 3), (4, 5, 6)])
+    assert as_flat_list(xs) == bfe_vec([1, 2, 3, 4, 5, 6])
+
+
+def test_cyclic_group_elements():
+    omega = BFieldElement.primitive_root_of_unity(8)
+    group = omega.get_cyclic_group_elements()
+    assert len(group) == 8
+    assert group[0].is_one()
+    assert group[1] == omega
+    assert (omega * group[-1]).is_one()
+    capped = omega.get_cyclic_group_elements(3)
+    assert capped == group[:3]
+    lifted = omega.lift().get_cyclic_group_elements()
+    assert len(lifted) == 8
+
+
+def test_power_accumulator():
+    base = bfe_vec([3, 5])
+    tail = bfe_vec([7, 11])
+    got = BFieldElement.power_accumulator(base, tail, 2)
+    assert got == [bfe(3).mod_pow(4) * bfe(7), bfe(5).mod_pow(4) * bfe(11)]
+
+
+def test_digest_corruptor():
+    d = Digest([1, 2, 3, 4, 5])
+    corrupted = DigestCorruptor([0, 4], [1, -1]).corrupt(d)
+    assert corrupted == Digest([2, 2, 3, 4, 4])
+    with pytest.raises(AssertionError):
+        DigestCorruptor([0], [0])
+
+
+@pytest.mark.parametrize("leaf_count,indices", [
+    (1, [0]),
+    (8, [0, 5]),
+    (11, [0, 7, 8, 10]),
+    (1 << 40, [0, 12345, (1 << 40) - 1]),
+    (6, []),
+])
+def test_mmra_with_mps(leaf_count, indices):
+    specified = [
+        (i, Digest([int(v) for v in RNG.integers(0, 2**60, 5)]))
+        for i in indices
+    ]
+    acc, proofs = mmra_with_mps(leaf_count, specified, rng=RNG)
+    assert acc.num_leafs() == leaf_count
+    assert acc.is_consistent()
+    for (leaf_index, digest), proof in zip(specified, proofs):
+        assert proof.verify(leaf_index, digest, acc.peaks(), leaf_count), \
+            leaf_index
+
+
+def test_prelude_surface():
+    # everything the reference prelude re-exports resolves here
+    for symbol in [BFieldElement, XFieldElement, Polynomial, Digest, Tip5,
+                   MerkleTree, MmrMembershipProof, Mmr, MmrAccumulator,
+                   ArchivalMmr, MmrSuccessorProof, LeafMutation, Sponge]:
+        assert symbol is not None

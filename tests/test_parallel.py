@@ -47,7 +47,7 @@ def test_distributed_intt_roundtrip(n_dev, log_n):
 
 
 @pytest.mark.parametrize("n_dev", [2, 8])
-@pytest.mark.parametrize("log_n", [3, 10])
+@pytest.mark.parametrize("log_n", [3, 7])
 def test_distributed_merkle_root(n_dev, log_n):
     require_devices(n_dev)
     mesh = make_mesh(n_dev)

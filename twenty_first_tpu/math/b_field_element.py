@@ -240,6 +240,27 @@ class BFieldElement:
     def batch_inversion(elements: list["BFieldElement"]) -> list["BFieldElement"]:
         return _batch_inversion(elements, BFieldElement(0), BFieldElement(1))
 
+    def get_cyclic_group_elements(self, max_elements: int | None = None) -> list:
+        """Powers of self until the cycle closes (traits.rs
+        CyclicGroupGenerator), optionally capped."""
+        elements = [BFieldElement(1)]
+        acc = self
+        while not acc.is_one() and (
+            max_elements is None or len(elements) < max_elements
+        ):
+            elements.append(acc)
+            acc = acc * self
+        return elements[:max_elements] if max_elements else elements
+
+    @staticmethod
+    def power_accumulator(base: list, tail: list, m: int) -> list:
+        """Square each base element M times, then multiply by the tail
+        (b_field_element.rs:286-309)."""
+        result = list(base)
+        for _ in range(m):
+            result = [r * r for r in result]
+        return [r * t for r, t in zip(result, tail)]
+
     # -- misc ---------------------------------------------------------------
 
     def __eq__(self, other):

@@ -160,12 +160,91 @@ def ntt_limbs_traceable(x, inverse: bool = False):
     return out
 
 
+# Above this size the four-step (Bailey) decomposition wins: two small
+# batched local transforms instead of log2(n) full-array butterfly passes —
+# far less XLA compile time and fewer HBM round trips.
+FOUR_STEP_THRESHOLD_LOG2 = 17
+
+
+def _four_step_split(log_n: int) -> tuple[int, int]:
+    log_n1 = log_n // 2
+    return log_n1, log_n - log_n1
+
+
+@functools.lru_cache(maxsize=None)
+def _four_step_diag_host(log_n: int, inverse: bool) -> tuple[np.ndarray, np.ndarray]:
+    """Diagonal twiddles w^(j1*k2) as an (n2, n1) uint32 limb pair."""
+    from . import gf_numpy as gfn
+
+    log_n1, log_n2 = _four_step_split(log_n)
+    n1, n2 = 1 << log_n1, 1 << log_n2
+    root = PRIMITIVE_ROOTS[1 << log_n]
+    if inverse:
+        root = pow(root, P - 2, P)
+    j1 = gfn.powers(root, n1)
+    out = np.empty((n2, n1), dtype=np.uint64)
+    out[0] = 1
+    for k2 in range(1, n2):
+        out[k2] = gfn.mul(out[k2 - 1], j1)
+    return ((out & np.uint64(0xFFFF_FFFF)).astype(np.uint32),
+            (out >> np.uint64(32)).astype(np.uint32))
+
+
+@functools.lru_cache(maxsize=None)
+def _four_step_diag_device(log_n: int, inverse: bool):
+    lo, hi = _four_step_diag_host(log_n, inverse)
+    return jnp.asarray(lo), jnp.asarray(hi)
+
+
+def four_step_ntt_traceable(x, log_n: int, inverse: bool, diag):
+    """Trace-composable four-step NTT over the last axis of (..., n) planes.
+
+    X[k2 + n2*k1] = NTT_n1( w^(j1*k2) * NTT_n2( x[j1 + n1*j2] )_{j2} )_{j1}
+    """
+    lo, hi = x
+    log_n1, log_n2 = _four_step_split(log_n)
+    n1, n2 = 1 << log_n1, 1 << log_n2
+    batch = lo.shape[:-1]
+    lo = lo.reshape(batch + (n2, n1))
+    hi = hi.reshape(batch + (n2, n1))
+    # column NTTs (over j2): move j2 to the last axis
+    perm2, tw2 = _device_tables(log_n2, inverse)
+    ct = _ntt_core(
+        (jnp.swapaxes(lo, -1, -2), jnp.swapaxes(hi, -1, -2)), perm2, tw2,
+        log_n2,
+    )
+    y = (jnp.swapaxes(ct[0], -1, -2), jnp.swapaxes(ct[1], -1, -2))
+    y = gf.mul(y, diag)
+    # row NTTs (over j1, already the last axis)
+    perm1, tw1 = _device_tables(log_n1, inverse)
+    z = _ntt_core(y, perm1, tw1, log_n1)
+    # z[..., k2, k1] = X[k2 + n2*k1]; natural order = transpose + flatten
+    zlo = jnp.swapaxes(z[0], -1, -2).reshape(batch + (n1 * n2,))
+    zhi = jnp.swapaxes(z[1], -1, -2).reshape(batch + (n1 * n2,))
+    if inverse:
+        zlo, zhi = gf.mul_const((zlo, zhi), pow(1 << log_n, P - 2, P))
+    return zlo, zhi
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_four_step(log_n: int, inverse: bool):
+    @functools.partial(jax.jit)
+    def run(lo, hi, diag_lo, diag_hi):
+        return four_step_ntt_traceable((lo, hi), log_n, inverse,
+                                       (diag_lo, diag_hi))
+
+    return run
+
+
 def ntt_limbs(x, inverse: bool = False):
     """NTT over the last axis of limb planes (lo, hi). Shape-preserving."""
     lo, hi = x
     log_n = _check_len(lo.shape[-1])
     if lo.shape[-1] <= 1:
         return x
+    if log_n >= FOUR_STEP_THRESHOLD_LOG2:
+        diag = _four_step_diag_device(log_n, inverse)
+        return _jitted_four_step(log_n, inverse)(lo, hi, diag[0], diag[1])
     perm, twiddles = _device_twiddles(log_n, inverse)
     return _jitted_ntt(log_n, inverse)(lo, hi, perm, twiddles)
 

@@ -59,6 +59,25 @@ class XFieldElement:
 
     # -- accessors ----------------------------------------------------------
 
+    def to_digest(self):
+        """Interpret as a Digest by padding two zeros (x_field_element.rs:270-292)."""
+        from ..tip5.digest import Digest
+
+        c0, c1, c2 = self.coefficients
+        return Digest((c0, c1, c2, BFieldElement(0), BFieldElement(0)))
+
+    @classmethod
+    def try_from_digest(cls, digest) -> "XFieldElement":
+        """Inverse of to_digest; requires the two padding zeros."""
+        from ..errors import TryFromXFieldElementError
+
+        values = list(digest.values())
+        if not values[3].is_zero() or not values[4].is_zero():
+            raise TryFromXFieldElementError(
+                "digest is not a padded extension-field element"
+            )
+        return cls(values[:3])
+
     def unlift(self) -> BFieldElement | None:
         c0, c1, c2 = self.coefficients
         if c1.is_zero() and c2.is_zero():
@@ -164,6 +183,16 @@ class XFieldElement:
 
         return _batch_inversion(elements, XFieldElement.zero(), XFieldElement.one())
 
+    def get_cyclic_group_elements(self, max_elements: int | None = None) -> list:
+        elements = [XFieldElement.one()]
+        acc = self
+        while not acc.is_one() and (
+            max_elements is None or len(elements) < max_elements
+        ):
+            elements.append(acc)
+            acc = acc * self
+        return elements[:max_elements] if max_elements else elements
+
     # -- misc ---------------------------------------------------------------
 
     def __eq__(self, other):
@@ -207,6 +236,14 @@ def _coerce(x):
     if isinstance(x, int):
         return XFieldElement.new_const(BFieldElement.from_int(x))
     return NotImplemented
+
+
+def as_flat_list(xfes) -> list[BFieldElement]:
+    """Flatten extension elements to their base-field coefficients — the
+    Python analogue of the reference's zero-copy reinterpretation
+    `&[XFieldElement] -> &[BFieldElement]` (x_field_element.rs:236-268),
+    used when hashing extension-field data."""
+    return [c for x in xfes for c in x.coefficients]
 
 
 def xfe(value) -> XFieldElement:

@@ -145,3 +145,22 @@ class Digest:
 
     def __iter__(self):
         return iter(self._values)
+
+
+class DigestCorruptor:
+    """Test helper for negative-path testing (digest.rs:300-324): corrupt a
+    digest at chosen element indices by adding chosen deltas (which must not
+    all be zero)."""
+
+    def __init__(self, indices: list[int], deltas: list):
+        assert len(indices) == len(deltas)
+        assert any(not bfe(d).is_zero() for d in deltas), \
+            "corruption must corrupt"
+        self.indices = list(indices)
+        self.deltas = [bfe(d) for d in deltas]
+
+    def corrupt(self, digest: Digest) -> Digest:
+        values = list(digest.values())
+        for i, d in zip(self.indices, self.deltas):
+            values[i] = values[i] + d
+        return Digest(values)

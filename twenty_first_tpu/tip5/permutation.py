@@ -48,9 +48,11 @@ _U32 = jnp.uint32
 _MASK16 = np.uint32(0xFFFF)
 _MASK8 = np.uint32(0xFF)
 
-# Device-resident constants.
-_MDS = jnp.asarray(MDS_MATRIX)  # (16, 16) uint32
-_RC_LIMBS = gf.to_limbs(ROUND_CONSTANTS.reshape(NUM_ROUNDS, STATE_SIZE))
+# Host-side constants (traced code closes over them as XLA constants).
+_MDS_NP = np.asarray(MDS_MATRIX)  # (16, 16) uint32 circulant
+_RC_NP = ROUND_CONSTANTS.reshape(NUM_ROUNDS, STATE_SIZE)
+_RC_LO = (_RC_NP & np.uint64(0xFFFF_FFFF)).astype(np.uint32)
+_RC_HI = (_RC_NP >> np.uint64(32)).astype(np.uint32)
 
 
 def _fermat_cube_map(b):
@@ -61,17 +63,21 @@ def _fermat_cube_map(b):
     return t3 - np.uint32(1)
 
 
+_BYTE_SHIFTS = np.array([0, 8, 16, 24], dtype=np.uint32)
+
+
 def _split_and_lookup(words):
-    """Byte-wise LUT on the Montgomery representative of the first 4 words."""
-    m = gf.to_montgomery(words)
-    mlo, mhi = m
-    out_lo = jnp.zeros_like(mlo)
-    out_hi = jnp.zeros_like(mhi)
-    for i in range(4):
-        sh = np.uint32(8 * i)
-        out_lo = out_lo | (_fermat_cube_map((mlo >> sh) & _MASK8) << sh)
-        out_hi = out_hi | (_fermat_cube_map((mhi >> sh) & _MASK8) << sh)
-    return gf.from_montgomery((out_lo, out_hi))
+    """Byte-wise LUT on the Montgomery representative of the first 4 words.
+
+    All 8 bytes of both limbs are processed in one widened tensor op
+    (minimizes HLO op count — these graphs get chained dozens of times in
+    Merkle commits and compile time scales with op count)."""
+    mlo, mhi = gf.to_montgomery(words)
+    m = jnp.stack([mlo, mhi], axis=-1)  # (..., 2)
+    b = (m[..., None] >> _BYTE_SHIFTS) & _MASK8  # (..., 2, 4)
+    f = _fermat_cube_map(b)
+    out = jnp.sum(f << _BYTE_SHIFTS, axis=-1, dtype=_U32)  # (..., 2)
+    return gf.from_montgomery((out[..., 0], out[..., 1]))
 
 
 def _pow7(x):
@@ -105,12 +111,15 @@ def _mds(state):
         hi & _MASK16,
         hi >> 16,
     )
+    # Broadcast-multiply-reduce: XLA fuses the (.., 16, 16) product into the
+    # sums without materializing it, and the widened formulation keeps the
+    # HLO op count small (compile time scales with op count — these rounds
+    # get chained ~100x in Merkle commit graphs).
     sums = []
     for d in digits:
-        # prod[..., i, j] = MDS[i, j] * d[..., j]; XLA fuses this into the sum.
-        prod = _MDS * d[..., None, :]
-        s_lo = jnp.sum(prod & _MASK16, axis=-1)
-        s_hi = jnp.sum(prod >> 16, axis=-1)
+        prod = _MDS_NP * d[..., None, :]
+        s_lo = jnp.sum(prod & _MASK16, axis=-1, dtype=_U32)
+        s_hi = jnp.sum(prod >> 16, axis=-1, dtype=_U32)
         sums.append((s_lo, s_hi))
     g0 = sums[0][0]
     g1 = sums[0][1] + sums[1][0]
@@ -132,7 +141,7 @@ def _mds(state):
 def _round(state, round_index: int):
     state = _sbox(state)
     state = _mds(state)
-    rc = (_RC_LIMBS[0][round_index], _RC_LIMBS[1][round_index])
+    rc = (jnp.asarray(_RC_LO[round_index]), jnp.asarray(_RC_HI[round_index]))
     return gf.add(state, rc)
 
 

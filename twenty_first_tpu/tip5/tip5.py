@@ -38,7 +38,18 @@ _RC = [int(c) for c in ROUND_CONSTANTS]
 
 
 def _permute_values(state: list[int]) -> list[int]:
-    """The Tip5 permutation on 16 canonical values (python ints)."""
+    """The Tip5 permutation on 16 canonical values (python ints).
+
+    Dispatches to the native host core when available; the pure-Python
+    rounds below remain the independent oracle (exercised directly in
+    tests and whenever the native library is absent)."""
+    from .. import native
+
+    if native.available():
+        out = native.tip5_permute_batch(
+            np.array([state], dtype=np.uint64)
+        )
+        return [int(v) for v in out[0]]
     for r in range(NUM_ROUNDS):
         state = _round_values(state, r)
     return state

@@ -49,6 +49,13 @@ def _hash_layer(nodes: np.ndarray) -> np.ndarray:
     b = nodes.shape[0] // 2
     if nodes.shape[0] < merkle_tree_parallelization_cutoff():
         # Host path for tiny layers: avoids device dispatch overhead.
+        from .. import native
+
+        if native.available():
+            states = np.zeros((b, 16), dtype=np.uint64)
+            states[:, :10] = nodes.reshape(b, 10)
+            states[:, 10:] = 1  # FixedLength capacity
+            return native.tip5_permute_batch(states)[:, :5]
         out = np.empty((b, Digest.LEN), dtype=np.uint64)
         for i in range(b):
             out[i] = Tip5.hash_pair(

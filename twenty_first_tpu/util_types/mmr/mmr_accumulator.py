@@ -218,6 +218,74 @@ class MmrAccumulator(Mmr):
             f"peaks={len(self._peaks)})"
 
 
+def mmra_with_mps(leaf_count: int, specified_leafs: list[tuple[int, Digest]],
+                  rng=None) -> tuple["MmrAccumulator", list]:
+    """Test-fixture factory (mmr_accumulator.rs util::mmra_with_mps): build a
+    consistent MMR accumulator with the given digests at the given leaf
+    indices — without materializing the other leafs — plus valid membership
+    proofs for them. Unspecified siblings are filled with random digests,
+    level by level, so shared path prefixes stay consistent."""
+    import numpy as np
+
+    from ...math.b_field_element import P as _P
+
+    rng = rng or np.random.default_rng()
+
+    def rand_digest():
+        return Digest([int(v) for v in rng.integers(0, _P, 5, dtype=np.uint64)])
+
+    assert len({i for i, _ in specified_leafs}) == len(specified_leafs), \
+        "Specified leaf indices must be unique"
+    assert all(0 <= i < leaf_count for i, _ in specified_leafs)
+
+    num_peaks = bin(leaf_count).count("1")
+    peaks = [rand_digest() for _ in range(num_peaks)]
+    if not specified_leafs:
+        return MmrAccumulator(peaks, leaf_count), []
+
+    # Group specified leafs by peak; build each affected local Merkle tree
+    # top-down as a dict {local_node_index: digest} with random padding.
+    by_peak: dict[int, list[tuple[int, int, Digest]]] = {}
+    for leaf_index, digest in specified_leafs:
+        mt_index, peak_index = shared_basic.leaf_index_to_mt_index_and_peak_index(
+            leaf_index, leaf_count
+        )
+        by_peak.setdefault(peak_index, []).append((mt_index, leaf_index, digest))
+
+    proofs_by_leaf: dict[int, list[Digest]] = {}
+    for peak_index, entries in by_peak.items():
+        nodes: dict[int, Digest] = {}
+        needed: set[int] = set()
+        for mt_index, _, digest in entries:
+            assert mt_index not in nodes or nodes[mt_index] == digest
+            nodes[mt_index] = digest
+            idx = mt_index
+            while idx > 1:
+                needed.add(idx // 2)
+                idx //= 2
+        # fill bottom-up: deepest internal nodes first
+        for node in sorted(needed, reverse=True):
+            for child in (2 * node, 2 * node + 1):
+                if child not in nodes:
+                    nodes[child] = rand_digest()
+            nodes[node] = Tip5.hash_pair(nodes[2 * node], nodes[2 * node + 1])
+        peaks[peak_index] = nodes.get(1, entries[0][2])
+        for mt_index, leaf_index, _ in entries:
+            path = []
+            idx = mt_index
+            while idx > 1:
+                path.append(nodes[idx ^ 1])
+                idx //= 2
+            proofs_by_leaf[leaf_index] = path
+
+    membership_proofs = [
+        MmrMembershipProof(proofs_by_leaf[leaf_index])
+        for leaf_index, _ in specified_leafs
+    ]
+    acc = MmrAccumulator(peaks, leaf_count)
+    return acc, membership_proofs
+
+
 def bag_peaks(peaks: list[Digest], leaf_count: int) -> Digest:
     """Commitment to the whole MMR: fold hash_pair right-to-left, seeded with
     hash_10 of the padded leaf-count encoding (mmr_accumulator.rs:379-391)."""
