@@ -256,3 +256,12 @@ def test_zerofier_tree():
 def test_shift_coefficients():
     f = Polynomial([1, 2])
     assert f.shift_coefficients(2) == Polynomial([0, 0, 1, 2])
+
+
+def test_fast_reduce_matches_divide():
+    for dn, dd in [(600, 20), (2000, 37), (520, 256)]:
+        n, d = rand_poly(dn), rand_poly(dd)
+        fast = n.fast_reduce(d)
+        _, want = n.divide(d)
+        assert fast == want, (dn, dd)
+        assert n.reduce(d) == want

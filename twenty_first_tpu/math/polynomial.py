@@ -400,11 +400,41 @@ class Polynomial:
     # -- modular reduction & power series ------------------------------------
 
     def reduce(self, modulus: "Polynomial") -> "Polynomial":
-        """self mod modulus (polynomial.rs:989-1046)."""
-        _, r = self.divide(modulus)
-        return r
+        """self mod modulus (dispatcher, polynomial.rs:989-1002)."""
+        if modulus.degree() < 0:
+            raise ZeroDivisionError("reduction modulo zero polynomial")
+        if (
+            self.degree() < FAST_REDUCE_CUTOFF_THRESHOLD
+            or modulus.degree() < 1
+            or self.degree() < 2 * modulus.degree()
+        ):
+            _, r = self.divide(modulus)
+            return r
+        return self.fast_reduce(modulus)
 
-    fast_reduce = reduce
+    def fast_reduce(self, modulus: "Polynomial") -> "Polynomial":
+        """Chunked reduction via a structured multiple (polynomial.rs:1010-1046).
+
+        Phase 1: reduce modulo a structured multiple M = x^k + tail of the
+        modulus (so x^k ≡ -tail), folding the high part down with NTT
+        multiplies until the degree drops below k. Phase 2: one long
+        division by the modulus finishes the job. The remainder is unique,
+        so this matches `divide` exactly.
+        """
+        d = modulus.degree()
+        multiple = modulus.structured_multiple()  # x^(2d+1) + tail, deg tail < d
+        k = multiple.degree()
+        neg_tail = Polynomial(
+            [self._field_zero() - c
+             for c in multiple.coefficients[:d]]
+        )
+        current = self.normalize()
+        while current.degree() >= k:
+            low = Polynomial(current.coefficients[:k])
+            high = Polynomial(current.coefficients[k:])
+            current = low + high * neg_tail
+        _, r = current.divide(modulus)
+        return r
 
     def formal_power_series_inverse_minimal(self, precision: int) -> "Polynomial":
         """Minimal-degree g with self*g == 1 mod x^precision
