@@ -1,0 +1,16 @@
+"""Pallas kernels (interpret mode on CPU) vs the jnp reference path."""
+
+import numpy as np
+
+from twenty_first_tpu.math.b_field_element import P
+from twenty_first_tpu.ops import tip5_pallas
+from twenty_first_tpu.tip5 import permutation as jnp_perm
+
+RNG = np.random.default_rng(8)
+
+
+def test_pallas_tip5_matches_jnp():
+    states = RNG.integers(0, P, size=(256, 16), dtype=np.uint64)
+    got = tip5_pallas.permutation_values(states, tile=128, interpret=True)
+    want = jnp_perm.permutation_values(states)
+    np.testing.assert_array_equal(got, want)

@@ -1,0 +1,144 @@
+"""Pallas TPU kernel: fused 5-round Tip5 permutation over a batch of states.
+
+One kernel invocation processes a VMEM-resident tile of states through all
+five rounds — no HBM round trips between layers, no intermediate
+materialization. The arithmetic is the same canonical-residue limb-plane
+math as the jnp path (twenty_first_tpu/tip5/permutation.py), restructured
+tap-by-tap so every temporary stays at tile shape.
+
+Falls back to interpret mode off-TPU (tests run it on CPU bit-exactly).
+
+STATUS: correct on TPU (validated against the jnp path) but currently
+slower than the XLA-fused jnp version: the (tile, 16) block shape leaves
+the 16-wide minor dimension on 16 of 128 lanes, and inside Pallas there is
+no XLA-style flattening of elementwise chains to recover the width. The
+planned fix is a lane-dense layout (8 states interleaved per 128-lane row,
+masked S-box select, MDS as an exact bf16 block-diagonal matmul on the MXU)
+— tracked for the next optimization round.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from ..math import gf
+from ..tip5.constants import (
+    MDS_MATRIX_FIRST_COLUMN,
+    NUM_ROUNDS,
+    NUM_SPLIT_AND_LOOKUP,
+    ROUND_CONSTANTS,
+    STATE_SIZE,
+)
+
+_MASK16 = np.uint32(0xFFFF)
+_MASK8 = np.uint32(0xFF)
+_U32 = jnp.uint32
+
+_RC = ROUND_CONSTANTS.reshape(NUM_ROUNDS, STATE_SIZE)
+_RC_LO = (_RC & np.uint64(0xFFFF_FFFF)).astype(np.uint32)
+_RC_HI = (_RC >> np.uint64(32)).astype(np.uint32)
+# Rolled MDS columns: _TAP[j][i] = col[(i - j) mod 16]
+_TAPS = [np.roll(MDS_MATRIX_FIRST_COLUMN, j).astype(np.uint32)
+         for j in range(16)]
+
+
+def _fermat(b):
+    t = b + np.uint32(1)
+    t2 = (t * t) % np.uint32(257)
+    t3 = (t2 * t) % np.uint32(257)
+    return t3 - np.uint32(1)
+
+
+def _sbox(lo, hi):
+    flo, fhi = lo[:, :NUM_SPLIT_AND_LOOKUP], hi[:, :NUM_SPLIT_AND_LOOKUP]
+    mlo, mhi = gf.to_montgomery((flo, fhi))
+    olo = jnp.zeros_like(mlo)
+    ohi = jnp.zeros_like(mhi)
+    for i in range(4):
+        sh = np.uint32(8 * i)
+        olo = olo | (_fermat((mlo >> sh) & _MASK8) << sh)
+        ohi = ohi | (_fermat((mhi >> sh) & _MASK8) << sh)
+    flo, fhi = gf.from_montgomery((olo, ohi))
+    rlo, rhi = lo[:, NUM_SPLIT_AND_LOOKUP:], hi[:, NUM_SPLIT_AND_LOOKUP:]
+    sq = gf.square((rlo, rhi))
+    qu = gf.square(sq)
+    r7 = gf.mul(gf.mul(qu, sq), (rlo, rhi))
+    return (
+        jnp.concatenate([flo, r7[0]], axis=1),
+        jnp.concatenate([fhi, r7[1]], axis=1),
+    )
+
+
+def _mds(lo, hi, taps):
+    digits = (lo & _MASK16, lo >> 16, hi & _MASK16, hi >> 16)
+    sums = []
+    for d in digits:
+        s_lo = jnp.zeros_like(d)
+        s_hi = jnp.zeros_like(d)
+        for j in range(16):
+            prod = taps[j] * d[:, j: j + 1]
+            s_lo = s_lo + (prod & _MASK16)
+            s_hi = s_hi + (prod >> 16)
+        sums.append((s_lo, s_hi))
+    g0 = sums[0][0]
+    g1 = sums[0][1] + sums[1][0]
+    g2 = sums[1][1] + sums[2][0]
+    g3 = sums[2][1] + sums[3][0]
+    g4 = sums[3][1]
+    x0 = g0 + (g1 << 16)
+    c0 = (x0 < g0).astype(_U32)
+    t = g2 + (g1 >> 16) + c0
+    x1 = t + (g3 << 16)
+    c1 = (x1 < t).astype(_U32)
+    x2 = g4 + (g3 >> 16) + c1
+    return gf.reduce128(x0, x1, x2, jnp.zeros_like(x2))
+
+
+def _permutation_kernel(lo_ref, hi_ref, taps_ref, rc_lo_ref, rc_hi_ref,
+                        out_lo_ref, out_hi_ref):
+    lo = lo_ref[...]
+    hi = hi_ref[...]
+    taps = taps_ref[...]
+    for r in range(NUM_ROUNDS):
+        lo, hi = _sbox(lo, hi)
+        lo, hi = _mds(lo, hi, taps)
+        lo, hi = gf.add((lo, hi), (rc_lo_ref[r], rc_hi_ref[r]))
+    out_lo_ref[...] = lo
+    out_hi_ref[...] = hi
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def permutation(lo, hi, tile: int = 2048, interpret: bool = False):
+    """Fused Tip5 permutation of (B, 16) limb planes; B % tile == 0."""
+    b = lo.shape[0]
+    assert b % tile == 0, f"batch {b} must be divisible by tile {tile}"
+    grid = (b // tile,)
+    spec = pl.BlockSpec((tile, STATE_SIZE), lambda i: (i, 0))
+    const_spec = pl.BlockSpec((16, 16), lambda i: (0, 0))
+    rc_spec = pl.BlockSpec((NUM_ROUNDS, STATE_SIZE), lambda i: (0, 0))
+    taps = jnp.asarray(np.stack(_TAPS))
+    return pl.pallas_call(
+        _permutation_kernel,
+        grid=grid,
+        in_specs=[spec, spec, const_spec, rc_spec, rc_spec],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, STATE_SIZE), jnp.uint32),
+            jax.ShapeDtypeStruct((b, STATE_SIZE), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(lo, hi, taps, jnp.asarray(_RC_LO), jnp.asarray(_RC_HI))
+
+
+def permutation_values(states: np.ndarray, tile: int = 2048,
+                       interpret: bool = False) -> np.ndarray:
+    """Host-convenience: uint64 (B, 16) -> permuted, via the Pallas kernel."""
+    states = np.asarray(states, dtype=np.uint64)
+    lo, hi = gf.to_limbs(states)
+    out = permutation(lo, hi, tile=tile, interpret=interpret)
+    return gf.from_limbs(out)

@@ -1,0 +1,124 @@
+"""Scaling-efficiency harness: distributed NTT / Merkle / LDE across mesh sizes.
+
+Measures one fixed problem size on meshes of 1, 2, ..., N devices and
+reports throughput plus scaling efficiency (speedup / ideal). On a real pod
+slice this exercises ICI collectives; under
+`--xla_force_host_platform_device_count=N` it validates the sharding and
+communication structure functionally.
+
+Usage: python -m twenty_first_tpu.parallel.scaling [--log-n 22] [--json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..math import gf
+from . import dist_ntt
+from .mesh import make_mesh
+from .pipeline import make_dist_lde_commit
+
+
+def _time_chained(run_k, k_lo=1, k_hi=3, reps=3):
+    for k in (k_lo, k_hi):
+        run_k(k)
+    lows, highs = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run_k(k_lo)
+        lows.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run_k(k_hi)
+        highs.append(time.perf_counter() - t0)
+    return (min(highs) - min(lows)) / (k_hi - k_lo)
+
+
+def measure_dist_ntt(mesh, log_n: int) -> float:
+    """Seconds per distributed NTT of 2^log_n elements on the mesh."""
+    rng = np.random.default_rng(0)
+    p = (1 << 64) - (1 << 32) + 1
+    n1, n2 = dist_ntt._split_sizes(log_n)
+    x = rng.integers(0, p, size=(n2, n1), dtype=np.uint64)
+    lo, hi = gf.to_limbs(x)
+    tw = dist_ntt._twiddle_device(mesh, log_n, False)
+    run = dist_ntt._make_distributed_ntt(mesh, log_n, False, False)
+
+    def run_k(k):
+        a, b = lo, hi
+        for _ in range(k):
+            a, b = run(a, b, tw[0], tw[1])
+        return int(jnp.sum(a, dtype=jnp.uint32))
+
+    return _time_chained(run_k)
+
+
+def measure_lde_commit(mesh, log_n: int) -> float:
+    rng = np.random.default_rng(1)
+    p = (1 << 64) - (1 << 32) + 1
+    n1, n2 = dist_ntt._split_sizes(log_n)
+    x = rng.integers(0, p, size=(n2, n1), dtype=np.uint64)
+    lo, hi = gf.to_limbs(x)
+    step = make_dist_lde_commit(mesh, log_n)
+
+    def run_k(k):
+        out = None
+        for _ in range(k):
+            out = step(lo, hi)
+        return int(jnp.sum(out[0], dtype=jnp.uint32))
+
+    return _time_chained(run_k)
+
+
+def scaling_report(log_n: int = 20, mesh_sizes=None) -> dict:
+    n_devices = len(jax.devices())
+    if mesh_sizes is None:
+        mesh_sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_devices]
+    report = {"log_n": log_n, "devices_available": n_devices, "ntt": {},
+              "lde_commit": {}}
+    base_ntt = None
+    base_lde = None
+    for d in mesh_sizes:
+        mesh = make_mesh(d)
+        t_ntt = measure_dist_ntt(mesh, log_n)
+        t_lde = measure_lde_commit(mesh, log_n)
+        if base_ntt is None:
+            base_ntt, base_lde = t_ntt, t_lde
+        report["ntt"][d] = {
+            "seconds": t_ntt,
+            "elems_per_s": (1 << log_n) / t_ntt,
+            "scaling_efficiency": base_ntt / (t_ntt * d),
+        }
+        report["lde_commit"][d] = {
+            "seconds": t_lde,
+            "scaling_efficiency": base_lde / (t_lde * d),
+        }
+    return report
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--log-n", type=int, default=18)
+    parser.add_argument("--json", action="store_true")
+    args = parser.parse_args()
+    report = scaling_report(args.log_n)
+    if args.json:
+        print(json.dumps(report))
+        return
+    print(f"devices: {report['devices_available']}, n = 2^{report['log_n']}")
+    for kind in ("ntt", "lde_commit"):
+        print(f"-- {kind} --")
+        for d, row in report[kind].items():
+            eff = row["scaling_efficiency"]
+            print(f"  {d:3d} chips: {row['seconds']*1e3:9.2f} ms   "
+                  f"eff {eff*100:5.1f}%")
+
+
+if __name__ == "__main__":
+    main()
