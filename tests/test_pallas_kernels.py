@@ -14,3 +14,15 @@ def test_pallas_tip5_matches_jnp():
     got = tip5_pallas.permutation_values(states, tile=128, interpret=True)
     want = jnp_perm.permutation_values(states)
     np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_dense_tip5_matches_jnp():
+    # The lane-dense kernel's interpret-mode emulation is impractically slow
+    # (per-primitive dispatch x 16 rolls x 4 planes x 5 rounds); it is
+    # validated against the jnp path on real TPU hardware instead (see
+    # COVERAGE.md). Here we only check the interleave round trip.
+    import jax.numpy as jnp
+
+    x = jnp.arange(128 * 16, dtype=jnp.uint32).reshape(128, 16)
+    round_trip = tip5_pallas._deinterleave(tip5_pallas._interleave(x))
+    np.testing.assert_array_equal(np.asarray(round_trip), np.asarray(x))

@@ -1,0 +1,46 @@
+"""Batch-first device polynomial API vs the scalar engine."""
+
+import numpy as np
+
+from twenty_first_tpu.math import poly_batch
+from twenty_first_tpu.math.b_field_element import BFieldElement, bfe, P
+from twenty_first_tpu.math.polynomial import Polynomial, barycentric_evaluate
+
+RNG = np.random.default_rng(55)
+
+
+def test_batch_coset_evaluate_interpolate_roundtrip():
+    rows, k, order = 5, 20, 64
+    coeffs = RNG.integers(0, P, size=(rows, k), dtype=np.uint64)
+    evals = poly_batch.batch_coset_evaluate(coeffs, order)
+    # cross-check one row against the scalar engine
+    p0 = Polynomial([bfe(int(v)) for v in coeffs[0]])
+    want = p0.fast_coset_evaluate(BFieldElement.generator(), order)
+    assert [int(v) for v in evals[0]] == [w.value() for w in want]
+    back = poly_batch.batch_coset_interpolate(evals)
+    np.testing.assert_array_equal(back[:, :k], coeffs)
+    assert not back[:, k:].any()
+
+
+def test_batch_multiply():
+    rows = 4
+    a = RNG.integers(0, P, size=(rows, 9), dtype=np.uint64)
+    b = RNG.integers(0, P, size=(rows, 13), dtype=np.uint64)
+    got = poly_batch.batch_multiply(a, b)
+    for r in range(rows):
+        pa = Polynomial([bfe(int(v)) for v in a[r]])
+        pb = Polynomial([bfe(int(v)) for v in b[r]])
+        want = pa * pb
+        got_poly = Polynomial([bfe(int(v)) for v in got[r]])
+        assert got_poly == want
+
+
+def test_batch_barycentric():
+    rows, n = 3, 32
+    codewords = RNG.integers(0, P, size=(rows, n), dtype=np.uint64)
+    z = 987654321
+    got = poly_batch.batch_evaluate_barycentric(codewords, z)
+    for r in range(rows):
+        want = barycentric_evaluate([bfe(int(v)) for v in codewords[r]],
+                                    bfe(z))
+        assert int(got[r]) == want.value()

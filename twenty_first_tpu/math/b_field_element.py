@@ -18,6 +18,7 @@ from ..errors import ParseBFieldElementError
 
 P = 0xFFFF_FFFF_0000_0001
 MAX = P - 1
+GENERATOR = 7  # multiplicative generator of the field
 R = (1 << 64) % P  # Montgomery radix residue, used only by Tip5's S-box
 R_INV = pow(1 << 64, -1, P)
 

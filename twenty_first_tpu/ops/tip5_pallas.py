@@ -142,3 +142,142 @@ def permutation_values(states: np.ndarray, tile: int = 2048,
     lo, hi = gf.to_limbs(states)
     out = permutation(lo, hi, tile=tile, interpret=interpret)
     return gf.from_limbs(out)
+
+
+# ---------------------------------------------------------------------------
+# Lane-dense variant: 8 states interleaved per 128-lane row.
+#
+# Layout: lane = word * 8 + substate. With that stride-8 interleave, the
+# MDS rotation "word w -> word (w + j) mod 16 within each state" is a
+# GLOBAL lane rotation by 8*j — one cheap full-width roll per tap instead
+# of any within-group shuffling. The S-box computes both the LUT path and
+# the x^7 path at full width and selects by word index (lane // 8 < 4).
+# Every op runs on all 128 lanes; the narrow-kernel variant above idles
+# 7/8 of them.
+# ---------------------------------------------------------------------------
+
+
+def _roll_lanes(x, shift):
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+
+        return pltpu.roll(x, shift=shift, axis=1)
+    except Exception:
+        return jnp.roll(x, shift, axis=1)
+
+
+def _dense_sbox(lo, hi, word_lt4):
+    # LUT path (all lanes)
+    mlo, mhi = gf.to_montgomery((lo, hi))
+    olo = jnp.zeros_like(mlo)
+    ohi = jnp.zeros_like(mhi)
+    for i in range(4):
+        sh = np.uint32(8 * i)
+        olo = olo | (_fermat((mlo >> sh) & _MASK8) << sh)
+        ohi = ohi | (_fermat((mhi >> sh) & _MASK8) << sh)
+    llo, lhi = gf.from_montgomery((olo, ohi))
+    # x^7 path (all lanes)
+    sq = gf.square((lo, hi))
+    qu = gf.square(sq)
+    p7 = gf.mul(gf.mul(qu, sq), (lo, hi))
+    return (
+        jnp.where(word_lt4, llo, p7[0]),
+        jnp.where(word_lt4, lhi, p7[1]),
+    )
+
+
+def _dense_mds(lo, hi, col):
+    digits = (lo & _MASK16, lo >> 16, hi & _MASK16, hi >> 16)
+    sums = []
+    for d in digits:
+        s_lo = jnp.zeros_like(d)
+        s_hi = jnp.zeros_like(d)
+        for j in range(16):
+            rolled = _roll_lanes(d, 8 * j)
+            prod = col[j] * rolled
+            s_lo = s_lo + (prod & _MASK16)
+            s_hi = s_hi + (prod >> 16)
+        sums.append((s_lo, s_hi))
+    g0 = sums[0][0]
+    g1 = sums[0][1] + sums[1][0]
+    g2 = sums[1][1] + sums[2][0]
+    g3 = sums[2][1] + sums[3][0]
+    g4 = sums[3][1]
+    x0 = g0 + (g1 << 16)
+    c0 = (x0 < g0).astype(_U32)
+    t = g2 + (g1 >> 16) + c0
+    x1 = t + (g3 << 16)
+    c1 = (x1 < t).astype(_U32)
+    x2 = g4 + (g3 >> 16) + c1
+    return gf.reduce128(x0, x1, x2, jnp.zeros_like(x2))
+
+
+_COL_SCALARS = [np.uint32(c) for c in MDS_MATRIX_FIRST_COLUMN]
+
+
+def _dense_kernel(lo_ref, hi_ref, rc_lo_ref, rc_hi_ref, out_lo_ref,
+                  out_hi_ref):
+    lo = lo_ref[...]
+    hi = hi_ref[...]
+    lane = jax.lax.broadcasted_iota(jnp.uint32, lo.shape, dimension=1)
+    word_lt4 = (lane >> 3) < 4
+    for r in range(NUM_ROUNDS):
+        lo, hi = _dense_sbox(lo, hi, word_lt4)
+        lo, hi = _dense_mds(lo, hi, _COL_SCALARS)
+        lo, hi = gf.add((lo, hi), (rc_lo_ref[r], rc_hi_ref[r]))
+    out_lo_ref[...] = lo
+    out_hi_ref[...] = hi
+
+
+def _interleave(x):
+    """(B, 16) -> (B // 8, 128) with lane = word * 8 + substate."""
+    b = x.shape[0]
+    return jnp.transpose(x.reshape(b // 8, 8, 16), (0, 2, 1)).reshape(
+        b // 8, 128
+    )
+
+
+def _deinterleave(x):
+    rows = x.shape[0]
+    return jnp.transpose(x.reshape(rows, 16, 8), (0, 2, 1)).reshape(
+        rows * 8, 16
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def permutation_dense(lo, hi, tile: int = 512, interpret: bool = False):
+    """Lane-dense fused permutation of (B, 16) limb planes; B % (8*tile) == 0."""
+    b = lo.shape[0]
+    assert b % (8 * tile) == 0, f"batch {b} must be divisible by {8 * tile}"
+    ilo = _interleave(lo)
+    ihi = _interleave(hi)
+    rows = ilo.shape[0]
+    # Round constants in interleaved lane order: rc_lane[lane] = RC[lane >> 3]
+    rc_lo = np.ascontiguousarray(
+        _RC_LO[:, :, None].repeat(8, axis=2).reshape(NUM_ROUNDS, 128)
+    )
+    rc_hi = np.ascontiguousarray(
+        _RC_HI[:, :, None].repeat(8, axis=2).reshape(NUM_ROUNDS, 128)
+    )
+    spec = pl.BlockSpec((tile, 128), lambda i: (i, 0))
+    rc_spec = pl.BlockSpec((NUM_ROUNDS, 128), lambda i: (0, 0))
+    olo, ohi = pl.pallas_call(
+        _dense_kernel,
+        grid=(rows // tile,),
+        in_specs=[spec, spec, rc_spec, rc_spec],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((rows, 128), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(ilo, ihi, jnp.asarray(rc_lo), jnp.asarray(rc_hi))
+    return _deinterleave(olo), _deinterleave(ohi)
+
+
+def permutation_dense_values(states: np.ndarray, tile: int = 512,
+                             interpret: bool = False) -> np.ndarray:
+    states = np.asarray(states, dtype=np.uint64)
+    lo, hi = gf.to_limbs(states)
+    out = permutation_dense(lo, hi, tile=tile, interpret=interpret)
+    return gf.from_limbs(out)
