@@ -26,3 +26,12 @@ def test_pallas_dense_tip5_matches_jnp():
     x = jnp.arange(128 * 16, dtype=jnp.uint32).reshape(128, 16)
     round_trip = tip5_pallas._deinterleave(tip5_pallas._interleave(x))
     np.testing.assert_array_equal(np.asarray(round_trip), np.asarray(x))
+
+
+def test_mxu_mds_permutation_matches_jnp():
+    from twenty_first_tpu.ops import tip5_mxu
+
+    states = RNG.integers(0, P, size=(64, 16), dtype=np.uint64)
+    got = tip5_mxu.permutation_values(states)
+    want = jnp_perm.permutation_values(states)
+    np.testing.assert_array_equal(got, want)

@@ -11,3 +11,7 @@ __version__ = "0.1.0"
 
 from . import errors  # noqa: F401
 from . import math  # noqa: F401
+from . import tip5  # noqa: F401
+from . import util_types  # noqa: F401
+from . import config  # noqa: F401
+from . import prelude  # noqa: F401
