@@ -35,3 +35,27 @@ def test_mxu_mds_permutation_matches_jnp():
     got = tip5_mxu.permutation_values(states)
     want = jnp_perm.permutation_values(states)
     np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_ntt_matches_xla():
+    from jax.experimental import pallas as pl
+
+    from twenty_first_tpu.ops import ntt_pallas
+    from twenty_first_tpu.math import ntt as ntt_mod
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    ntt_pallas.pl.pallas_call = patched
+    try:
+        x = RNG.integers(0, P, size=1 << 10, dtype=np.uint64)
+        got = ntt_pallas.ntt_values(x)
+        want = ntt_mod.ntt_values(x)
+        np.testing.assert_array_equal(got, want)
+        back = ntt_pallas.ntt_values(got, inverse=True)
+        np.testing.assert_array_equal(back, x)
+    finally:
+        ntt_pallas.pl.pallas_call = orig

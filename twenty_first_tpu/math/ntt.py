@@ -94,27 +94,84 @@ def _device_tables(log_n: int, inverse: bool):
 
 
 def _ntt_core(x, perm, twiddles, log_n: int):
-    """x: (lo, hi) with last axis n. Returns transformed limb planes."""
+    """x: (lo, hi) with last axis n. Returns transformed limb planes.
+
+    Stages are fused pairwise into radix-4 passes (one memory pass instead
+    of two; the butterflies are the algebraic composition of the two
+    radix-2 stages, so values are identical). An odd stage count starts
+    with one radix-2 stage.
+    """
     lo, hi = x
     batch_shape = lo.shape[:-1]
     n = lo.shape[-1]
     lo = jnp.take(lo, perm, axis=-1)
     hi = jnp.take(hi, perm, axis=-1)
-    for s in range(log_n):
+    s = 0
+    if log_n % 2 == 1:
+        lo, hi = _radix2_stage((lo, hi), twiddles[0], 1, n, batch_shape)
+        s = 1
+    while s < log_n:
         m = 1 << s
-        blocks = n // (2 * m)
-        shape = batch_shape + (blocks, 2, m)
-        lo = lo.reshape(shape)
-        hi = hi.reshape(shape)
-        u = (lo[..., 0, :], hi[..., 0, :])
-        v = (lo[..., 1, :], hi[..., 1, :])
-        tw = twiddles[s]
-        v = gf.mul(v, (tw[0], tw[1]))  # broadcast (m,) over batch/blocks
-        top = gf.add(u, v)
-        bot = gf.sub(u, v)
-        lo = jnp.stack([top[0], bot[0]], axis=-2).reshape(batch_shape + (n,))
-        hi = jnp.stack([top[1], bot[1]], axis=-2).reshape(batch_shape + (n,))
+        lo, hi = _radix4_stage(
+            (lo, hi), twiddles[s], twiddles[s + 1], m, n, batch_shape
+        )
+        s += 2
     return lo, hi
+
+
+def _radix2_stage(x, tw, m, n, batch_shape):
+    lo, hi = x
+    shape = batch_shape + (n // (2 * m), 2, m)
+    lo = lo.reshape(shape)
+    hi = hi.reshape(shape)
+    u = (lo[..., 0, :], hi[..., 0, :])
+    v = gf.mul((lo[..., 1, :], hi[..., 1, :]), (tw[0], tw[1]))
+    top = gf.add(u, v)
+    bot = gf.sub(u, v)
+    return (
+        jnp.stack([top[0], bot[0]], axis=-2).reshape(batch_shape + (n,)),
+        jnp.stack([top[1], bot[1]], axis=-2).reshape(batch_shape + (n,)),
+    )
+
+
+def _radix4_stage(x, tw1, tw2, m, n, batch_shape):
+    """Fused pair of radix-2 stages (half sizes m and 2m).
+
+    Block of 4m elements (a, b, c, d) at offsets (0, m, 2m, 3m):
+      stage m :  a' = a + t1 b ; b' = a - t1 b ; c' = c + t1 d ; d' = c - t1 d
+      stage 2m:  y0 = a' + t2a c' ; y2 = a' - t2a c'
+                 y1 = b' + t2b d' ; y3 = b' - t2b d'
+    with t1 = tw1[j], t2a = tw2[j], t2b = tw2[m + j] for j in [0, m).
+    """
+    lo, hi = x
+    shape = batch_shape + (n // (4 * m), 4, m)
+    lo = lo.reshape(shape)
+    hi = hi.reshape(shape)
+    a = (lo[..., 0, :], hi[..., 0, :])
+    b = (lo[..., 1, :], hi[..., 1, :])
+    c = (lo[..., 2, :], hi[..., 2, :])
+    d = (lo[..., 3, :], hi[..., 3, :])
+    t1 = (tw1[0], tw1[1])
+    t2a = (tw2[0][:m], tw2[1][:m])
+    t2b = (tw2[0][m:], tw2[1][m:])
+    tb = gf.mul(b, t1)
+    td = gf.mul(d, t1)
+    ap = gf.add(a, tb)
+    bp = gf.sub(a, tb)
+    cp = gf.add(c, td)
+    dp = gf.sub(c, td)
+    tc_ = gf.mul(cp, t2a)
+    td_ = gf.mul(dp, t2b)
+    y0 = gf.add(ap, tc_)
+    y2 = gf.sub(ap, tc_)
+    y1 = gf.add(bp, td_)
+    y3 = gf.sub(bp, td_)
+    return (
+        jnp.stack([y0[0], y1[0], y2[0], y3[0]], axis=-2)
+        .reshape(batch_shape + (n,)),
+        jnp.stack([y0[1], y1[1], y2[1], y3[1]], axis=-2)
+        .reshape(batch_shape + (n,)),
+    )
 
 
 @functools.lru_cache(maxsize=None)
