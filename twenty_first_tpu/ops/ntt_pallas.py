@@ -28,6 +28,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..math import gf
 from ..math import ntt as ntt_mod
@@ -125,6 +126,10 @@ def col_ntt(x, log_n: int, inverse: bool, tc: int = 128, diag=None):
     if diag is not None:
         in_specs += [data_spec, data_spec]
         args += [diag[0], diag[1]]
+    try:
+        params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    except TypeError:  # older API name
+        params = None
     return pl.pallas_call(
         _col_ntt_kernel_factory(log_n, diag is not None),
         grid=grid,
@@ -134,6 +139,7 @@ def col_ntt(x, log_n: int, inverse: bool, tc: int = 128, diag=None):
             jax.ShapeDtypeStruct((n, cols), jnp.uint32),
             jax.ShapeDtypeStruct((n, cols), jnp.uint32),
         ],
+        **({"compiler_params": params} if params is not None else {}),
     )(*args)
 
 
@@ -148,6 +154,10 @@ def four_step_ntt(x, log_n: int, inverse: bool, diag, tc: int = 128):
     n1, n2 = 1 << log_n1, 1 << log_n2
     lo = lo.reshape(n2, n1)
     hi = hi.reshape(n2, n1)
+    # Narrower column tiles for tall transforms keep the per-stage kernel
+    # stack within VMEM (stage temporaries scale with n_local * tc).
+    if log_n2 > 10:
+        tc = min(tc, 64)
     # pass 1: NTT over j2 (axis 0 already)
     y = col_ntt((lo, hi), log_n2, inverse, tc=min(tc, n1))
     # diagonal twiddle w^(j1*k2) is indexed [k2, j1]; transpose to match the
