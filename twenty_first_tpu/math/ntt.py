@@ -253,6 +253,38 @@ def _four_step_diag_device(log_n: int, inverse: bool):
     return jnp.asarray(lo), jnp.asarray(hi)
 
 
+# Local transforms inside the four-step run over row chunks of this size:
+# very tall batches (4096 x 4096 at 2^24) measured ~1.8x slower per element
+# than ~512-row slabs (XLA schedules the smaller fusions much better).
+_FOUR_STEP_CHUNK_ROWS = 512
+
+
+def _chunked_ntt_core(x, perm, tw, log_m: int):
+    """Last-axis NTT over a 2-D (rows, m) pair, in row chunks."""
+    lo, hi = x
+    rows = lo.shape[0]
+    # Only very tall batches benefit; at moderate heights the extra
+    # concatenates cost more than the better-scheduled fusions save
+    # (measured: 2^20 0.35 ms unchunked vs 0.47 ms chunked; 2^24 local
+    # transform 13.9 ms unchunked vs 7.7 ms chunked). Opt-in via env var:
+    # the chunked 2^24 graph takes ~10 minutes to compile on the remote
+    # TPU toolchain, which is unacceptable for cold-start benchmarking.
+    import os
+
+    if (lo.ndim != 2 or rows <= 4 * _FOUR_STEP_CHUNK_ROWS
+            or not os.environ.get("TWENTY_FIRST_TPU_NTT_CHUNK")):
+        return _ntt_core(x, perm, tw, log_m)
+    step = _FOUR_STEP_CHUNK_ROWS
+    outs = [
+        _ntt_core((lo[r: r + step], hi[r: r + step]), perm, tw, log_m)
+        for r in range(0, rows, step)
+    ]
+    return (
+        jnp.concatenate([o[0] for o in outs], axis=0),
+        jnp.concatenate([o[1] for o in outs], axis=0),
+    )
+
+
 def four_step_ntt_traceable(x, log_n: int, inverse: bool, diag):
     """Trace-composable four-step NTT over the last axis of (..., n) planes.
 
@@ -266,7 +298,7 @@ def four_step_ntt_traceable(x, log_n: int, inverse: bool, diag):
     hi = hi.reshape(batch + (n2, n1))
     # column NTTs (over j2): move j2 to the last axis
     perm2, tw2 = _device_tables(log_n2, inverse)
-    ct = _ntt_core(
+    ct = _chunked_ntt_core(
         (jnp.swapaxes(lo, -1, -2), jnp.swapaxes(hi, -1, -2)), perm2, tw2,
         log_n2,
     )
@@ -274,7 +306,7 @@ def four_step_ntt_traceable(x, log_n: int, inverse: bool, diag):
     y = gf.mul(y, diag)
     # row NTTs (over j1, already the last axis)
     perm1, tw1 = _device_tables(log_n1, inverse)
-    z = _ntt_core(y, perm1, tw1, log_n1)
+    z = _chunked_ntt_core(y, perm1, tw1, log_n1)
     # z[..., k2, k1] = X[k2 + n2*k1]; natural order = transpose + flatten
     zlo = jnp.swapaxes(z[0], -1, -2).reshape(batch + (n1 * n2,))
     zhi = jnp.swapaxes(z[1], -1, -2).reshape(batch + (n1 * n2,))
