@@ -10,7 +10,7 @@ plane ops; this class is for scalar logic, index math, codecs and tests.
 
 from __future__ import annotations
 
-from typing import Iterable, Union
+from typing import Iterable
 
 import numpy as np
 

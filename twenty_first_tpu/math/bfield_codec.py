@@ -17,7 +17,7 @@ exact wire rules:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence
+from typing import Optional, Sequence
 
 from ..errors import BFieldCodecError
 from .b_field_element import BFieldElement, bfe

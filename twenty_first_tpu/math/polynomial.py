@@ -18,7 +18,6 @@ from __future__ import annotations
 
 from typing import Iterable, Sequence
 
-import numpy as np
 
 from .b_field_element import BFieldElement, bfe
 from .x_field_element import XFieldElement

@@ -20,7 +20,6 @@ on the MXU); bit-exactness is pinned against the scalar oracle.
 
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 import jax

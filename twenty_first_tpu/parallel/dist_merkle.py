@@ -15,7 +15,6 @@ import functools
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
 

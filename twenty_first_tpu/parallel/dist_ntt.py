@@ -32,7 +32,7 @@ import functools
 
 import numpy as np
 import jax
-import jax.numpy as jnp
+
 from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -12,7 +12,6 @@ Usage: python -m twenty_first_tpu.parallel.scaling [--log-n 22] [--json]
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import time
 

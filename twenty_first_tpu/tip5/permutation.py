@@ -28,7 +28,6 @@ permutation snapshot test pins this.
 
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 import jax

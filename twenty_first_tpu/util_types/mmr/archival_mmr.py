@@ -7,7 +7,6 @@ from __future__ import annotations
 from ...tip5.digest import Digest
 from ...tip5.tip5 import Tip5
 from . import shared_advanced
-from . import shared_basic
 from .mmr_accumulator import MmrAccumulator, bag_peaks
 from .mmr_membership_proof import MmrMembershipProof
 from .mmr_trait import LeafMutation, Mmr
