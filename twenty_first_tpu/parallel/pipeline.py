@@ -34,6 +34,59 @@ from . import dist_ntt
 from . import dist_merkle
 
 
+def trace_lde_commit(trace, expansion: int = 4,
+                     offset: int | None = None):
+    """Single-chip STARK trace commitment (BASELINE config 4 shape).
+
+    trace: limb planes (W, n) — W <= 10 trace columns given as evaluations
+    over the size-n trace domain. Steps, all in one trace-composable graph:
+      1. interpolate each column (iNTT over the trace domain);
+      2. low-degree-extend onto the coset offset * <omega_{expansion*n}>;
+      3. hash each row of the (expansion*n, W) evaluation matrix into a
+         leaf digest — W <= RATE, so ONE Tip5 permutation per row
+         (fixed-length domain, like the reference's hash_10);
+      4. reduce the leafs to a Merkle root.
+    Returns (1, 5) limb planes holding the root digest.
+    """
+    from ..math.b_field_element import GENERATOR
+    from ..tip5.constants import STATE_SIZE
+
+    import jax.numpy as jnp
+
+    lo, hi = trace
+    w, n = lo.shape
+    assert w <= 10 and n & (n - 1) == 0
+    big_n = n * expansion
+    assert expansion & (expansion - 1) == 0
+    offset = GENERATOR if offset is None else offset
+    # 1. interpolate columns
+    coeff = ntt_mod.ntt_limbs_traceable((lo, hi), inverse=True)
+    # 2. scale by offset powers and zero-pad to the extended domain
+    from ..math import gf_numpy as gfn
+
+    pw = gfn.powers(offset, n)
+    pw_lo = (pw & np.uint64(0xFFFF_FFFF)).astype(np.uint32)
+    pw_hi = (pw >> np.uint64(32)).astype(np.uint32)
+    scaled = gf.mul(coeff, (pw_lo[None, :], pw_hi[None, :]))
+    pad = ((0, 0), (0, big_n - n))
+    padded = (jnp.pad(scaled[0], pad), jnp.pad(scaled[1], pad))
+    evals = ntt_mod.ntt_limbs_traceable(padded)  # (W, big_n)
+    # 3. leaf digests: fixed-length hash of each row (one permutation each)
+    rows_lo = jnp.transpose(evals[0])  # (big_n, W)
+    rows_hi = jnp.transpose(evals[1])
+    state_lo = jnp.concatenate(
+        [rows_lo,
+         jnp.zeros((big_n, 10 - w), jnp.uint32),
+         jnp.ones((big_n, STATE_SIZE - 10), jnp.uint32)], axis=1)
+    state_hi = jnp.concatenate(
+        [rows_hi, jnp.zeros((big_n, STATE_SIZE - w), jnp.uint32)], axis=1)
+    perm = tip5_dev.permutation((state_lo, state_hi))
+    leafs = (perm[0][:, :5], perm[1][:, :5])
+    # 4. Merkle root
+    log_rows = big_n.bit_length() - 1
+    return dist_merkle._reduce_layers(leafs, log_rows)
+
+
 def lde_commit(x):
     """Single-chip LDE + commit on limb planes (rows, n).
 
