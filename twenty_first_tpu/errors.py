@@ -41,3 +41,22 @@ class MmrError(TwentyFirstError):
 
 class U32ToUsizeError(TwentyFirstError):
     """Kept for API parity; never raised on 64-bit Python."""
+
+
+class PolynomialError(TwentyFirstError, ValueError):
+    """Raised on invalid polynomial operations (bad domains, non-clean
+    division, invalid arguments). ValueError subclass so generic callers
+    degrade sensibly."""
+
+
+class PolynomialDivisionError(PolynomialError, ZeroDivisionError):
+    """Raised on division/reduction by the zero polynomial."""
+
+
+class LatticeError(TwentyFirstError, ValueError):
+    """Raised on invalid lattice-crypto inputs (bad lengths, malformed
+    ciphertexts/keys)."""
+
+
+class SpongeError(TwentyFirstError, ValueError):
+    """Raised on invalid sponge/hash inputs (wrong input lengths)."""

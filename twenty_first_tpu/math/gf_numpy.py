@@ -8,7 +8,21 @@ exact in uint64).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+
+
+def _wrapping(fn):
+    """Mod-2^64 wrap-around is intentional here; silence numpy's scalar
+    overflow warnings inside field ops."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with np.errstate(over="ignore"):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 P = np.uint64(0xFFFF_FFFF_0000_0001)
 EPSILON = np.uint64(0xFFFF_FFFF)
@@ -20,6 +34,7 @@ def _split(x):
     return x & _M32, x >> _S32
 
 
+@_wrapping
 def mul(a, b):
     """Canonical modular product of uint64 arrays (inputs may be any u64)."""
     a = np.asarray(a, dtype=np.uint64)
@@ -39,6 +54,7 @@ def mul(a, b):
     return reduce128(lo, hi)
 
 
+@_wrapping
 def reduce128(lo, hi):
     """Reduce lo + hi * 2^64 mod p to canonical form."""
     hi_lo, hi_hi = _split(hi)
@@ -52,6 +68,7 @@ def reduce128(lo, hi):
     return np.where(res >= P, res - P, res)
 
 
+@_wrapping
 def add(a, b):
     a = np.asarray(a, dtype=np.uint64)
     b = np.asarray(b, dtype=np.uint64)
@@ -61,6 +78,7 @@ def add(a, b):
     return np.where(s >= P, s - P, s)
 
 
+@_wrapping
 def sub(a, b):
     a = np.asarray(a, dtype=np.uint64)
     b = np.asarray(b, dtype=np.uint64)
@@ -78,10 +96,25 @@ def pow_scalar(base: int, e: int) -> int:
 
 
 def inverse(a):
-    """Elementwise inverse (python-int fallback per element; host-side only)."""
-    flat = np.asarray(a, dtype=np.uint64).ravel()
-    out = np.array([pow(int(v), int(P) - 2, int(P)) for v in flat], dtype=np.uint64)
-    return out.reshape(np.shape(a))
+    """Elementwise inverse-or-zero via the fixed Goldilocks addition chain
+    for x^(p-2) (b_field_element.rs:252-284), fully vectorized. 0 -> 0."""
+    x = np.asarray(a, dtype=np.uint64)
+
+    def nsquare(v, n):
+        for _ in range(n):
+            v = mul(v, v)
+        return v
+
+    bin2 = mul(mul(x, x), x)
+    bin3 = mul(mul(bin2, bin2), x)
+    bin6 = mul(nsquare(bin3, 3), bin3)
+    bin12 = mul(nsquare(bin6, 6), bin6)
+    bin24 = mul(nsquare(bin12, 12), bin12)
+    bin30 = mul(nsquare(bin24, 6), bin6)
+    bin31 = mul(mul(bin30, bin30), x)
+    bin31_z = mul(bin31, bin31)
+    bin32 = mul(mul(bin31, bin31), x)
+    return mul(nsquare(bin31_z, 32), bin32)
 
 
 def powers(base: int, n: int) -> np.ndarray:

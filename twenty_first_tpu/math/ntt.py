@@ -174,6 +174,93 @@ def _radix4_stage(x, tw1, tw2, m, n, batch_shape):
     )
 
 
+# -- axis(-2) transform core -------------------------------------------------
+#
+# The four-step local transforms use this core: transforming over axis -2
+# keeps the OTHER factor of the (n2, n1) matrix as the minor dimension, so
+# every butterfly stage is a full-width (n1-lane) VPU op — the last-axis core
+# degrades at early stages where the within-block stride m is smaller than a
+# lane group. Measured at 2^24: 24.7 ms (last-axis locals) -> see DESIGN.md.
+
+
+def _ntt_core_ax2(x, perm, twiddles, log_n: int):
+    """NTT over axis -2 of (..., n, w) limb planes. Same math as _ntt_core."""
+    lo, hi = x
+    lo = jnp.take(lo, perm, axis=-2)
+    hi = jnp.take(hi, perm, axis=-2)
+    n = lo.shape[-2]
+    s = 0
+    if log_n % 2 == 1:
+        lo, hi = _radix2_stage_ax2((lo, hi), twiddles[0], 1, n)
+        s = 1
+    while s < log_n:
+        m = 1 << s
+        lo, hi = _radix4_stage_ax2(
+            (lo, hi), twiddles[s], twiddles[s + 1], m, n
+        )
+        s += 2
+    return lo, hi
+
+
+def _tw_ax2(tw, sl=None):
+    """Reshape a stage-twiddle plane pair for axis(-2) broadcast: (m,) -> (m, 1)."""
+    lo, hi = tw
+    if sl is not None:
+        lo, hi = lo[sl], hi[sl]
+    return lo[:, None], hi[:, None]
+
+
+def _radix2_stage_ax2(x, tw, m, n):
+    lo, hi = x
+    batch = lo.shape[:-2]
+    w = lo.shape[-1]
+    shape = batch + (n // (2 * m), 2, m, w)
+    lo = lo.reshape(shape)
+    hi = hi.reshape(shape)
+    u = (lo[..., 0, :, :], hi[..., 0, :, :])
+    v = gf.mul((lo[..., 1, :, :], hi[..., 1, :, :]), _tw_ax2(tw))
+    top = gf.add(u, v)
+    bot = gf.sub(u, v)
+    out_shape = batch + (n, w)
+    return (
+        jnp.stack([top[0], bot[0]], axis=-3).reshape(out_shape),
+        jnp.stack([top[1], bot[1]], axis=-3).reshape(out_shape),
+    )
+
+
+def _radix4_stage_ax2(x, tw1, tw2, m, n):
+    lo, hi = x
+    batch = lo.shape[:-2]
+    w = lo.shape[-1]
+    shape = batch + (n // (4 * m), 4, m, w)
+    lo = lo.reshape(shape)
+    hi = hi.reshape(shape)
+    a = (lo[..., 0, :, :], hi[..., 0, :, :])
+    b = (lo[..., 1, :, :], hi[..., 1, :, :])
+    c = (lo[..., 2, :, :], hi[..., 2, :, :])
+    d = (lo[..., 3, :, :], hi[..., 3, :, :])
+    t1 = _tw_ax2(tw1)
+    t2a = _tw_ax2(tw2, slice(None, m))
+    t2b = _tw_ax2(tw2, slice(m, None))
+    tb = gf.mul(b, t1)
+    td = gf.mul(d, t1)
+    ap = gf.add(a, tb)
+    bp = gf.sub(a, tb)
+    cp = gf.add(c, td)
+    dp = gf.sub(c, td)
+    tc_ = gf.mul(cp, t2a)
+    td_ = gf.mul(dp, t2b)
+    y0 = gf.add(ap, tc_)
+    y2 = gf.sub(ap, tc_)
+    y1 = gf.add(bp, td_)
+    y3 = gf.sub(bp, td_)
+    out_shape = batch + (n, w)
+    return (
+        jnp.stack([y0[0], y1[0], y2[0], y3[0]], axis=-3).reshape(out_shape),
+        jnp.stack([y0[1], y1[1], y2[1], y3[1]], axis=-3).reshape(out_shape),
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _device_twiddles(log_n: int, inverse: bool):
     """Twiddle/permutation tables as device arrays, uploaded once per size.
@@ -253,42 +340,15 @@ def _four_step_diag_device(log_n: int, inverse: bool):
     return jnp.asarray(lo), jnp.asarray(hi)
 
 
-# Local transforms inside the four-step run over row chunks of this size:
-# very tall batches (4096 x 4096 at 2^24) measured ~1.8x slower per element
-# than ~512-row slabs (XLA schedules the smaller fusions much better).
-_FOUR_STEP_CHUNK_ROWS = 512
-
-
-def _chunked_ntt_core(x, perm, tw, log_m: int):
-    """Last-axis NTT over a 2-D (rows, m) pair, in row chunks."""
-    lo, hi = x
-    rows = lo.shape[0]
-    # Only very tall batches benefit; at moderate heights the extra
-    # concatenates cost more than the better-scheduled fusions save
-    # (measured: 2^20 0.35 ms unchunked vs 0.47 ms chunked; 2^24 local
-    # transform 13.9 ms unchunked vs 7.7 ms chunked). Opt-in via env var:
-    # the chunked 2^24 graph takes ~10 minutes to compile on the remote
-    # TPU toolchain, which is unacceptable for cold-start benchmarking.
-    import os
-
-    if (lo.ndim != 2 or rows <= 4 * _FOUR_STEP_CHUNK_ROWS
-            or not os.environ.get("TWENTY_FIRST_TPU_NTT_CHUNK")):
-        return _ntt_core(x, perm, tw, log_m)
-    step = _FOUR_STEP_CHUNK_ROWS
-    outs = [
-        _ntt_core((lo[r: r + step], hi[r: r + step]), perm, tw, log_m)
-        for r in range(0, rows, step)
-    ]
-    return (
-        jnp.concatenate([o[0] for o in outs], axis=0),
-        jnp.concatenate([o[1] for o in outs], axis=0),
-    )
-
-
 def four_step_ntt_traceable(x, log_n: int, inverse: bool, diag):
     """Trace-composable four-step NTT over the last axis of (..., n) planes.
 
     X[k2 + n2*k1] = NTT_n1( w^(j1*k2) * NTT_n2( x[j1 + n1*j2] )_{j2} )_{j1}
+
+    Both local transforms run over axis -2 (the _ntt_core_ax2 core) so the
+    other factor of the (n2, n1) matrix stays the minor (lane) dimension —
+    full VPU width at every butterfly stage, no tiny-stride early stages,
+    and only ONE physical transpose in the whole pipeline.
     """
     lo, hi = x
     log_n1, log_n2 = _four_step_split(log_n)
@@ -296,20 +356,18 @@ def four_step_ntt_traceable(x, log_n: int, inverse: bool, diag):
     batch = lo.shape[:-1]
     lo = lo.reshape(batch + (n2, n1))
     hi = hi.reshape(batch + (n2, n1))
-    # column NTTs (over j2): move j2 to the last axis
+    # column NTTs (over j2 = axis -2, lanes = n1): -> Y[k2, j1]
     perm2, tw2 = _device_tables(log_n2, inverse)
-    ct = _chunked_ntt_core(
-        (jnp.swapaxes(lo, -1, -2), jnp.swapaxes(hi, -1, -2)), perm2, tw2,
-        log_n2,
-    )
-    y = (jnp.swapaxes(ct[0], -1, -2), jnp.swapaxes(ct[1], -1, -2))
+    y = _ntt_core_ax2((lo, hi), perm2, tw2, log_n2)
+    # diagonal twiddle w^(j1*k2), laid out (n2, n1) to match Y
     y = gf.mul(y, diag)
-    # row NTTs (over j1, already the last axis)
+    # transpose once to (j1, k2), then row NTTs (over j1 = axis -2,
+    # lanes = n2): -> Z[k1, k2], which flattens to natural order k2 + n2*k1.
+    y = (jnp.swapaxes(y[0], -1, -2), jnp.swapaxes(y[1], -1, -2))
     perm1, tw1 = _device_tables(log_n1, inverse)
-    z = _chunked_ntt_core(y, perm1, tw1, log_n1)
-    # z[..., k2, k1] = X[k2 + n2*k1]; natural order = transpose + flatten
-    zlo = jnp.swapaxes(z[0], -1, -2).reshape(batch + (n1 * n2,))
-    zhi = jnp.swapaxes(z[1], -1, -2).reshape(batch + (n1 * n2,))
+    z = _ntt_core_ax2(y, perm1, tw1, log_n1)
+    zlo = z[0].reshape(batch + (n1 * n2,))
+    zhi = z[1].reshape(batch + (n1 * n2,))
     if inverse:
         zlo, zhi = gf.mul_const((zlo, zhi), pow(1 << log_n, P - 2, P))
     return zlo, zhi
@@ -344,13 +402,50 @@ def intt_limbs(x):
 
 # -- host-convenience wrappers ---------------------------------------------
 
+# Below this total element count the vectorized host-numpy path beats the
+# device round trip (transfer + dispatch ~0.5-1 ms through the tunnel);
+# above it the TPU kernels win.
+HOST_NTT_MAX_ELEMS = 1 << 15
+
+
+def ntt_host(values: np.ndarray, inverse: bool = False) -> np.ndarray:
+    """Vectorized host-numpy NTT over the last axis (radix-2 stages).
+
+    Same values as the device path; used for small transforms where the
+    host<->device round trip dominates, and as an independent oracle."""
+    values = np.asarray(values, dtype=np.uint64)
+    n = values.shape[-1]
+    log_n = _check_len(n)
+    if n <= 1:
+        return values.copy()
+    perm = _bit_reverse_permutation(log_n)
+    stages = _twiddles_host(log_n, inverse)
+    x = values[..., perm]
+    batch = x.shape[:-1]
+    for s in range(log_n):
+        m = 1 << s
+        x = x.reshape(batch + (n // (2 * m), 2, m))
+        u = x[..., 0, :]
+        v = gfn.mul(x[..., 1, :], stages[s])
+        x = np.stack([gfn.add(u, v), gfn.sub(u, v)], axis=-2)
+    x = x.reshape(batch + (n,))
+    if inverse:
+        n_inv = np.uint64(pow(n, P - 2, P))
+        x = gfn.mul(x, n_inv)
+    return x
+
 
 def ntt_values(values, inverse: bool = False) -> np.ndarray:
-    """NTT of a host uint64 array (last axis = transform axis)."""
+    """NTT of a host uint64 array (last axis = transform axis).
+
+    Dispatches between the host-numpy kernel (small transforms) and the
+    device kernels (large), both bit-exact."""
     values = np.asarray(values, dtype=np.uint64)
     if values.shape[-1] <= 1:
         _check_len(values.shape[-1])
         return values.copy()
+    if values.size <= HOST_NTT_MAX_ELEMS:
+        return ntt_host(values, inverse=inverse)
     out = ntt_limbs(gf.to_limbs(values), inverse=inverse)
     return gf.from_limbs(out)
 

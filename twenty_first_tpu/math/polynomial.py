@@ -2,27 +2,35 @@
 
 Mirrors the capability surface of twenty-first/src/math/polynomial.rs
 (multiply/divide/xgcd/reduce/zerofier/evaluate/interpolate/coset ops/
-extrapolation/barycentric evaluation) with the reference's algorithm
-families and benchmark-derived cutoffs. Scalar control flow lives on the
-host; every superlinear inner loop (NTT multiply, coset transforms, batch
-work) dispatches to the batched device kernels in math/ntt.py, which is the
-TPU-native replacement for the reference's rayon `par_*` variants — those
-are provided as aliases.
+modular coset interpolation/extrapolation/barycentric evaluation) with the
+reference's algorithm families and benchmark-derived cutoffs.
 
-Coefficients are host lists of BFieldElement/XFieldElement, index == degree.
-Trailing zeros are ignored for degree/equality, as in the reference
-(polynomial.rs:181-188, :151-164).
+TPU-native design: coefficients are stored as **numpy uint64 arrays** —
+shape (n,) over the base field, (n, 3) over the extension — never as lists
+of scalar objects. Every superlinear loop is a whole-array operation
+(math/gf_numpy.py, math/xgf_numpy.py on host; math/ntt.py + math/gf_ext.py
+on device for large transforms; native C++ long division when available).
+The reference gets this from compiled Rust + rayon; here the same role is
+played by vectorized numpy + the TPU, with the object API (`coefficients`
+as BFieldElement/XFieldElement lists) materialized only at the boundary.
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Iterable, Sequence
 
+import numpy as np
 
-from .b_field_element import BFieldElement, bfe
-from .x_field_element import XFieldElement
+from ..errors import PolynomialError, PolynomialDivisionError
+from . import gf_numpy as gfn
+from . import xgf_numpy as xgf
 from . import ntt as ntt_mod
+from .b_field_element import BFieldElement, bfe, GENERATOR
+from .x_field_element import XFieldElement
 from .zerofier_tree import RECURSION_CUTOFF_THRESHOLD, ZerofierTree
+
+P = int(gfn.P)
 
 # Benchmark-derived crossover constants (reference polynomial.rs:704-753).
 FAST_MULTIPLY_CUTOFF_THRESHOLD = 1 << 8
@@ -30,35 +38,258 @@ FAST_SQUARE_CUTOFF_THRESHOLD = 64
 FAST_INTERPOLATE_CUTOFF_THRESHOLD_SEQUENTIAL = 1 << 12
 FAST_INTERPOLATE_CUTOFF_THRESHOLD_PARALLEL = 1 << 8
 FAST_ZEROFIER_CUTOFF_THRESHOLD = 100
-FAST_COSET_INTERPOLATE_LAGRANGE_CUTOFF = 1 << 8
-FAST_COSET_INTERPOLATE_INTT_CUTOFF = 1 << 17
+# polynomial.rs:724-734
+FAST_MODULAR_COSET_INTERPOLATE_CUTOFF_THRESHOLD_PREFER_LAGRANGE = 1 << 8
+FAST_MODULAR_COSET_INTERPOLATE_CUTOFF_THRESHOLD_PREFER_INTT = 1 << 17
+FAST_COSET_EXTRAPOLATE_THRESHOLD = 100
 CLEAN_DIVIDE_CUTOFF = 1 << 9
 FAST_REDUCE_CUTOFF_THRESHOLD = 1 << 8
+# polynomial.rs:1741 (batched interpolation leaf size)
+BATCH_INTERPOLATE_CUTOFF = 16
 
 
-def _is_xfe(e) -> bool:
-    return isinstance(e, XFieldElement)
+# ---------------------------------------------------------------------------
+# array-level field helpers (field selected by the `x` flag: extension?)
+# ---------------------------------------------------------------------------
 
 
-def _zero_like(e):
-    return XFieldElement.zero() if _is_xfe(e) else BFieldElement(0)
+def _zeros(n: int, x: bool) -> np.ndarray:
+    return np.zeros((n, 3) if x else (n,), dtype=np.uint64)
 
 
-def _one_like(e):
-    return XFieldElement.one() if _is_xfe(e) else BFieldElement(1)
+def _one_row(x: bool) -> np.ndarray:
+    if x:
+        return np.array([1, 0, 0], dtype=np.uint64)
+    return np.uint64(1)
+
+
+def _fmul(a, b, x: bool):
+    return xgf.mul(a, b) if x else gfn.mul(a, b)
+
+
+def _fmul_scalar(arr, s, x: bool):
+    """Array times one scalar row (s: () or (3,))."""
+    if x:
+        return xgf.mul(arr, np.broadcast_to(s, arr.shape))
+    return gfn.mul(arr, s)
+
+
+def _finv(arr, x: bool):
+    return xgf.inverse(arr) if x else gfn.inverse(arr)
+
+
+def _fsum(arr: np.ndarray, x: bool):
+    """Field sum along axis 0 (pairwise fold, vectorized)."""
+    n = arr.shape[0]
+    if n == 0:
+        return _zeros(1, x)[0]
+    while n > 1:
+        half = n // 2
+        head = gfn.add(arr[:half], arr[half: 2 * half])
+        arr = np.concatenate([head, arr[2 * half: n]], axis=0) \
+            if n % 2 else head
+        n = arr.shape[0]
+    return arr[0]
+
+
+def _lift3(arr: np.ndarray) -> np.ndarray:
+    """(n,) base-field -> (n, 3) extension with zero high components."""
+    out = np.zeros(arr.shape + (3,), dtype=np.uint64)
+    out[..., 0] = arr
+    return out
+
+
+def _scalar_value(e) -> np.ndarray:
+    """Field element / int -> scalar array (() base or (3,) ext)."""
+    if isinstance(e, XFieldElement):
+        return np.array([c.value() for c in e.coefficients], dtype=np.uint64)
+    if isinstance(e, BFieldElement):
+        return np.uint64(e.value())
+    return np.uint64(int(e) % P)
+
+
+def _is_x_scalar(s: np.ndarray) -> bool:
+    return s.ndim == 1
+
+
+def _obj(row, x: bool):
+    if x:
+        return XFieldElement((int(row[0]), int(row[1]), int(row[2])))
+    return BFieldElement(int(row))
+
+
+def _objs_from_array(arr: np.ndarray, x: bool) -> list:
+    if x:
+        return [XFieldElement((int(r[0]), int(r[1]), int(r[2]))) for r in arr]
+    return [BFieldElement(int(v)) for v in arr]
+
+
+def _to_field_array(seq) -> tuple[np.ndarray, bool]:
+    """Sequence of field elements / ints (or ndarray) -> (arr, is_extension)."""
+    if isinstance(seq, np.ndarray):
+        if seq.ndim == 2 and seq.shape[-1] == 3:
+            return seq.astype(np.uint64, copy=False), True
+        return seq.astype(np.uint64, copy=False), False
+    seq = list(seq)
+    if not seq:
+        return np.zeros(0, dtype=np.uint64), False
+    if any(isinstance(e, XFieldElement) for e in seq):
+        rows = []
+        for e in seq:
+            if isinstance(e, XFieldElement):
+                rows.append([c.value() for c in e.coefficients])
+            elif isinstance(e, BFieldElement):
+                rows.append([e.value(), 0, 0])
+            else:
+                rows.append([int(e) % P, 0, 0])
+        return np.array(rows, dtype=np.uint64), True
+    vals = [e.value() if isinstance(e, BFieldElement) else int(e) % P
+            for e in seq]
+    return np.array(vals, dtype=np.uint64), False
+
+
+def _promote(a: "Polynomial", b: "Polynomial"):
+    """Common-field coefficient arrays for a binary operation."""
+    if a._x == b._x:
+        return a._c, b._c, a._x
+    if a._x:
+        return a._c, _lift3(b._c), True
+    return _lift3(a._c), b._c, True
+
+
+def _trimmed_len(arr: np.ndarray) -> int:
+    """Number of coefficients up to and including the leading nonzero."""
+    if arr.shape[0] == 0:
+        return 0
+    nz = arr.any(axis=-1) if arr.ndim == 2 else arr != 0
+    idx = np.flatnonzero(nz)
+    return 0 if idx.size == 0 else int(idx[-1]) + 1
+
+
+def _powers_arr(s: np.ndarray, n: int, x: bool) -> np.ndarray:
+    """[1, s, s^2, ..., s^(n-1)] for a scalar s; (n,) or (n, 3)."""
+    if not x:
+        return gfn.powers(int(s), n)
+    out = _zeros(n, True)
+    if n == 0:
+        return out
+    out[0, 0] = 1
+    filled = 1
+    while filled < n:
+        take = min(filled, n - filled)
+        step = _scalar_pow(s, filled, True)
+        out[filled: filled + take] = xgf.mul(out[:take], step[None, :])
+        filled += take
+    return out
+
+
+def _scalar_pow(s: np.ndarray, e: int, x: bool):
+    if not x:
+        return np.uint64(pow(int(s), int(e), P))
+    result = np.array([1, 0, 0], dtype=np.uint64)
+    base = s.copy()
+    e = int(e)
+    while e:
+        if e & 1:
+            result = xgf.mul(result, base)
+        e >>= 1
+        if e:
+            base = xgf.mul(base, base)
+    return result
+
+
+def _eval_many(coeffs: np.ndarray, cx: bool, points: np.ndarray, px: bool
+               ) -> np.ndarray:
+    """Evaluate one polynomial at many points, vectorized Horner.
+
+    coeffs: (k,[3]); points: (m,[3]); result in the wider field."""
+    x = cx or px
+    c = _lift3(coeffs) if (x and not cx) else coeffs
+    z = _lift3(points) if (x and not px) else points
+    m = z.shape[0]
+    k = _trimmed_len(c)
+    if k == 0:
+        return _zeros(m, x)
+    acc = np.broadcast_to(c[k - 1], z.shape).copy()
+    for i in range(k - 2, -1, -1):
+        acc = gfn.add(_fmul(acc, z, x), np.broadcast_to(c[i], z.shape))
+    return acc
+
+
+def _eval_one(coeffs: np.ndarray, cx: bool, point: np.ndarray, px: bool):
+    """Evaluate at a single scalar point via powers + dot (O(log n) numpy
+    calls instead of an O(n) Python Horner loop)."""
+    x = cx or px
+    c = _lift3(coeffs) if (x and not cx) else coeffs
+    k = _trimmed_len(c)
+    if k == 0:
+        return _zeros(1, x)[0]
+    z = _lift3(point[None])[0] if (x and not px) else point
+    pw = _powers_arr(z, k, x)
+    return _fsum(_fmul(c[:k], pw, x), x)
+
+
+def _ntt_mul_arrays(a: np.ndarray, b: np.ndarray, x: bool) -> np.ndarray:
+    """Full product of two coefficient arrays via (i)NTT (device for large
+    transforms, host numpy for small — see ntt.ntt_values)."""
+    la, lb = a.shape[0], b.shape[0]
+    out_len = la + lb - 1
+    n = 1 << max((out_len - 1).bit_length(), 0)
+    pa = _zeros(n, x)
+    pb = _zeros(n, x)
+    pa[:la] = a
+    pb[:lb] = b
+    if not x:
+        fa = ntt_mod.ntt_values(pa)
+        fb = ntt_mod.ntt_values(pb)
+        return ntt_mod.ntt_values(gfn.mul(fa, fb), inverse=True)[:out_len]
+    # extension: transform the 3 planes as batch (twiddles are base-field)
+    fa = ntt_mod.ntt_values(pa.T)
+    fb = ntt_mod.ntt_values(pb.T)
+    prod = xgf.mul(fa.T, fb.T)
+    return ntt_mod.ntt_values(prod.T, inverse=True).T[:out_len]
+
+
+def _divmod_arrays(num: np.ndarray, den: np.ndarray, x: bool
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Long division on trimmed coefficient arrays -> (quotient, remainder).
+
+    Vectorized inner loop; the base-field path dispatches to the native C++
+    core (native/twenty_first_native.cpp gl_poly_divmod) when available."""
+    dn, dd = num.shape[0] - 1, den.shape[0] - 1
+    if dd < 0:
+        raise PolynomialDivisionError("division by zero polynomial")
+    if dn < dd:
+        return _zeros(0, x), num.copy()
+    if not x:
+        from .. import native
+
+        if native.available() and dn >= 1:
+            q, r = native.poly_divmod(num, den)
+            return q.astype(np.uint64), r.astype(np.uint64)
+    lc_inv = _finv(den[dd: dd + 1], x)[0]
+    rem = num.copy()
+    quot = _zeros(dn - dd + 1, x)
+    den_body = den[:dd]
+    for i in range(dn - dd, -1, -1):
+        q = _fmul(rem[i + dd], lc_inv, x)
+        quot[i] = q
+        if dd:
+            rem[i: i + dd] = gfn.sub(
+                rem[i: i + dd], _fmul_scalar(den_body, q, x))
+    return quot, rem[:dd]
+
+
+# ---------------------------------------------------------------------------
+# Polynomial
+# ---------------------------------------------------------------------------
 
 
 class Polynomial:
-    __slots__ = ("coefficients",)
+    __slots__ = ("_c", "_x")
 
-    def __init__(self, coefficients: Iterable):
-        coeffs = []
-        for c in coefficients:
-            if isinstance(c, (BFieldElement, XFieldElement)):
-                coeffs.append(c)
-            else:
-                coeffs.append(bfe(c))
-        self.coefficients = coeffs
+    def __init__(self, coefficients: Iterable = ()):
+        self._c, self._x = _to_field_array(coefficients)
 
     # -- constructors -------------------------------------------------------
 
@@ -67,16 +298,34 @@ class Polynomial:
         return cls(coefficients)
 
     # The reference distinguishes owned/borrowed coefficient storage
-    # (polynomial.rs:2460-2499); python lists make that moot.
+    # (polynomial.rs:2460-2499); arrays make that moot.
     new_borrowed = new
 
     @classmethod
+    def from_array(cls, arr: np.ndarray, extension: bool = False
+                   ) -> "Polynomial":
+        """Zero-copy constructor from a uint64 coefficient array
+        ((n,) base field, or (n, 3) extension)."""
+        p = cls.__new__(cls)
+        p._c = np.asarray(arr, dtype=np.uint64)
+        p._x = extension or (p._c.ndim == 2)
+        return p
+
+    def to_array(self) -> np.ndarray:
+        """Trimmed uint64 coefficient array ((n,) or (n, 3))."""
+        return self._c[: _trimmed_len(self._c)]
+
+    @property
+    def is_extension(self) -> bool:
+        return self._x
+
+    @classmethod
     def zero(cls) -> "Polynomial":
-        return cls([])
+        return cls.from_array(np.zeros(0, dtype=np.uint64))
 
     @classmethod
     def one(cls) -> "Polynomial":
-        return cls([bfe(1)])
+        return cls.from_array(np.ones(1, dtype=np.uint64))
 
     @classmethod
     def from_constant(cls, c) -> "Polynomial":
@@ -84,57 +333,68 @@ class Polynomial:
 
     @classmethod
     def x_to_the(cls, n: int) -> "Polynomial":
-        return cls([bfe(0)] * n + [bfe(1)])
+        arr = np.zeros(n + 1, dtype=np.uint64)
+        arr[n] = 1
+        return cls.from_array(arr)
 
     # -- basic structure ----------------------------------------------------
 
+    @property
+    def coefficients(self) -> list:
+        """Coefficients as scalar field-element objects (compatibility
+        surface; internal code uses the arrays directly)."""
+        return _objs_from_array(self._c, self._x)
+
     def degree(self) -> int:
-        deg = len(self.coefficients) - 1
-        while deg >= 0 and self.coefficients[deg].is_zero():
-            deg -= 1
-        return deg
+        return _trimmed_len(self._c) - 1
 
     def normalize(self) -> "Polynomial":
-        return Polynomial(self.coefficients[: self.degree() + 1])
+        return Polynomial.from_array(self.to_array(), self._x)
 
     def leading_coefficient(self):
         deg = self.degree()
-        return None if deg < 0 else self.coefficients[deg]
+        return None if deg < 0 else _obj(self._c[deg], self._x)
 
     def is_zero(self) -> bool:
         return self.degree() < 0
 
     def is_one(self) -> bool:
-        return self.degree() == 0 and self.coefficients[0].is_one()
+        return self.degree() == 0 and _trimmed_len(self._c) == 1 and (
+            int(self._c[0][0] if self._x else self._c[0]) == 1
+        ) and (not self._x or (self._c[0][1] == 0 and self._c[0][2] == 0))
 
     def is_x(self) -> bool:
-        return self.degree() == 1 and self.coefficients[1].is_one() \
-            and self.coefficients[0].is_zero()
+        a = self.to_array()
+        if a.shape[0] != 2:
+            return False
+        c0, c1 = a[0], a[1]
+        if self._x:
+            return (not c0.any()) and c1[0] == 1 and c1[1] == 0 and c1[2] == 0
+        return c0 == 0 and c1 == 1
 
     def _field_zero(self):
-        for c in self.coefficients:
-            return _zero_like(c)
-        return BFieldElement(0)
+        return XFieldElement.zero() if self._x else BFieldElement(0)
 
     def coefficient(self, i: int):
-        if i < len(self.coefficients):
-            return self.coefficients[i]
+        if i < self._c.shape[0]:
+            return _obj(self._c[i], self._x)
         return self._field_zero()
 
     def __eq__(self, other):
         if not isinstance(other, Polynomial):
             return NotImplemented
-        a, b = self.coefficients, other.coefficients
-        la, lb = self.degree() + 1, other.degree() + 1
+        a, b, _ = _promote(self, other)
+        la, lb = _trimmed_len(a), _trimmed_len(b)
         if la != lb:
             return False
-        return all(a[i] == b[i] for i in range(la))
+        return np.array_equal(a[:la], b[:lb])
 
     def __hash__(self):
-        return hash(tuple(self.coefficients[: self.degree() + 1]))
+        deg = self.degree()
+        return hash(tuple(_objs_from_array(self._c[: deg + 1], self._x)))
 
     def __repr__(self):
-        return f"Polynomial({[c for c in self.coefficients[:self.degree() + 1]]})"
+        return f"Polynomial({_objs_from_array(self.to_array(), self._x)})"
 
     def __str__(self):
         deg = self.degree()
@@ -142,7 +402,7 @@ class Polynomial:
             return "0"
         terms = []
         for i in range(deg, -1, -1):
-            c = self.coefficients[i]
+            c = _obj(self._c[i], self._x)
             if c.is_zero():
                 continue
             if i == 0:
@@ -157,27 +417,42 @@ class Polynomial:
 
     def __add__(self, other) -> "Polynomial":
         other = _coerce_poly(other)
-        n = max(len(self.coefficients), len(other.coefficients))
-        out = []
-        for i in range(n):
-            out.append(self.coefficient(i) + other.coefficient(i))
-        return Polynomial(out)
+        if other is NotImplemented:
+            return NotImplemented
+        a, b, x = _promote(self, other)
+        n = max(a.shape[0], b.shape[0])
+        pa, pb = _zeros(n, x), _zeros(n, x)
+        pa[: a.shape[0]] = a
+        pb[: b.shape[0]] = b
+        return Polynomial.from_array(gfn.add(pa, pb), x)
 
     __radd__ = __add__
 
     def __sub__(self, other) -> "Polynomial":
         other = _coerce_poly(other)
-        n = max(len(self.coefficients), len(other.coefficients))
-        return Polynomial(
-            [self.coefficient(i) - other.coefficient(i) for i in range(n)]
-        )
+        if other is NotImplemented:
+            return NotImplemented
+        a, b, x = _promote(self, other)
+        n = max(a.shape[0], b.shape[0])
+        pa, pb = _zeros(n, x), _zeros(n, x)
+        pa[: a.shape[0]] = a
+        pb[: b.shape[0]] = b
+        return Polynomial.from_array(gfn.sub(pa, pb), x)
+
+    def __rsub__(self, other) -> "Polynomial":
+        other = _coerce_poly(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return other - self
 
     def __neg__(self) -> "Polynomial":
-        return Polynomial([-c for c in self.coefficients])
+        return Polynomial.from_array(gfn.neg(self._c), self._x)
 
     def __mul__(self, other) -> "Polynomial":
         if isinstance(other, (BFieldElement, XFieldElement, int)):
             return self.scalar_mul(other)
+        if not isinstance(other, Polynomial):
+            return NotImplemented
         return self.multiply(other)
 
     def __rmul__(self, other) -> "Polynomial":
@@ -186,9 +461,14 @@ class Polynomial:
         return NotImplemented
 
     def scalar_mul(self, scalar) -> "Polynomial":
-        if isinstance(scalar, int):
-            scalar = bfe(scalar)
-        return Polynomial([c * scalar for c in self.coefficients])
+        s = _scalar_value(scalar)
+        if _is_x_scalar(s) and not self._x:
+            return Polynomial.from_array(
+                _fmul_scalar(_lift3(self._c), s, True), True)
+        if not _is_x_scalar(s) and self._x:
+            return Polynomial.from_array(gfn.mul(self._c, s), True)
+        return Polynomial.from_array(
+            _fmul_scalar(self._c, s, self._x), self._x)
 
     def multiply(self, other: "Polynomial") -> "Polynomial":
         """Dispatch: schoolbook below the NTT cutoff (polynomial.rs:873-887)."""
@@ -197,34 +477,26 @@ class Polynomial:
         return self.fast_multiply(other)
 
     def naive_multiply(self, other: "Polynomial") -> "Polynomial":
-        da, db = self.degree(), other.degree()
-        if da < 0 or db < 0:
-            return Polynomial.zero()
-        a = self.coefficients
-        b = other.coefficients
-        zero = (a[0] * b[0]) - (a[0] * b[0])  # zero in the result field
-        out = [zero] * (da + db + 1)
-        for i in range(da + 1):
-            ai = a[i]
-            if ai.is_zero():
-                continue
-            for j in range(db + 1):
-                out[i + j] = out[i + j] + ai * b[j]
-        return Polynomial(out)
+        a, b, x = _promote(self, other)
+        la, lb = _trimmed_len(a), _trimmed_len(b)
+        if la == 0 or lb == 0:
+            return Polynomial.from_array(_zeros(0, x), x)
+        a, b = a[:la], b[:lb]
+        if lb < la:
+            a, b, la, lb = b, a, lb, la
+        out = _zeros(la + lb - 1, x)
+        for i in range(la):
+            out[i: i + lb] = gfn.add(out[i: i + lb],
+                                     _fmul_scalar(b, a[i], x))
+        return Polynomial.from_array(out, x)
 
     def fast_multiply(self, other: "Polynomial") -> "Polynomial":
-        """NTT multiply (polynomial.rs:900-932), on device."""
-        da, db = self.degree(), other.degree()
-        if da < 0 or db < 0:
-            return Polynomial.zero()
-        result_len = da + db + 1
-        n = 1 << (result_len - 1).bit_length()
-        a = self.coefficients[: da + 1] + [self._field_zero()] * (n - da - 1)
-        b = other.coefficients[: db + 1] + [other._field_zero()] * (n - db - 1)
-        fa = ntt_mod.ntt(a)
-        fb = ntt_mod.ntt(b)
-        prod = [x * y for x, y in zip(fa, fb)]
-        return Polynomial(ntt_mod.intt(prod)[:result_len])
+        """NTT multiply (polynomial.rs:900-932)."""
+        a, b, x = _promote(self, other)
+        la, lb = _trimmed_len(a), _trimmed_len(b)
+        if la == 0 or lb == 0:
+            return Polynomial.from_array(_zeros(0, x), x)
+        return Polynomial.from_array(_ntt_mul_arrays(a[:la], b[:lb], x), x)
 
     @staticmethod
     def batch_multiply(factors: Sequence["Polynomial"]) -> "Polynomial":
@@ -269,60 +541,56 @@ class Polynomial:
 
     def shift_coefficients(self, power: int) -> "Polynomial":
         """Multiply by x^power (polynomial.rs:480-484)."""
-        return Polynomial([self._field_zero()] * power + list(self.coefficients))
+        return Polynomial.from_array(
+            np.concatenate([_zeros(power, self._x), self._c]), self._x)
 
     def scale(self, alpha) -> "Polynomial":
         """p(x) -> p(alpha * x) (polynomial.rs:760-773)."""
-        out = []
-        acc = _one_like(alpha) if not isinstance(alpha, int) else bfe(1)
-        if isinstance(alpha, int):
-            alpha = bfe(alpha)
-        for c in self.coefficients:
-            out.append(c * acc)
-            acc = acc * alpha
-        return Polynomial(out)
+        s = _scalar_value(alpha)
+        sx = _is_x_scalar(s)
+        x = self._x or sx
+        c = _lift3(self._c) if (x and not self._x) else self._c
+        pw = _powers_arr(s if sx else s, c.shape[0], sx)
+        if sx:
+            return Polynomial.from_array(xgf.mul(c, pw), True)
+        if x:
+            return Polynomial.from_array(gfn.mul(c, pw[:, None]), True)
+        return Polynomial.from_array(gfn.mul(c, pw), False)
 
     def truncate(self, k: int) -> "Polynomial":
-        """The leading k+1 coefficients (lowest-degree terms dropped),
-        matching polynomial.rs truncate semantics: keep degree <= k part of
-        the polynomial *from the top*."""
+        """The leading k+1 coefficients (lowest-degree terms dropped)."""
         deg = self.degree()
         take = min(k + 1, deg + 1)
-        return Polynomial(self.coefficients[deg + 1 - take: deg + 1])
+        return Polynomial.from_array(
+            self._c[deg + 1 - take: deg + 1], self._x)
 
     def mod_x_to_the_n(self, n: int) -> "Polynomial":
         """Remainder modulo x^n: the n lowest coefficients."""
-        coeffs = list(self.coefficients[:n])
-        coeffs += [self._field_zero()] * (n - len(coeffs))
-        return Polynomial(coeffs)
+        out = _zeros(n, self._x)
+        take = min(n, self._c.shape[0])
+        out[:take] = self._c[:take]
+        return Polynomial.from_array(out, self._x)
 
     def formal_derivative(self) -> "Polynomial":
-        return Polynomial(
-            [c * bfe(i) for i, c in enumerate(self.coefficients)][1:]
-        )
+        n = self._c.shape[0]
+        if n <= 1:
+            return Polynomial.from_array(_zeros(0, self._x), self._x)
+        idx = np.arange(1, n, dtype=np.uint64)
+        body = self._c[1:]
+        if self._x:
+            return Polynomial.from_array(gfn.mul(body, idx[:, None]), True)
+        return Polynomial.from_array(gfn.mul(body, idx), False)
 
     # -- division -----------------------------------------------------------
 
     def naive_divide(self, divisor: "Polynomial") -> tuple:
         """Long division -> (quotient, remainder) (polynomial.rs:552-600)."""
-        dd = divisor.degree()
-        if dd < 0:
-            raise ZeroDivisionError("division by zero polynomial")
-        dn = self.degree()
-        if dn < dd:
-            return Polynomial.zero(), self.normalize()
-        lc_inv = divisor.leading_coefficient().inverse()
-        rem = list(self.coefficients[: dn + 1])
-        zero = self._field_zero()
-        quot = [zero] * (dn - dd + 1)
-        for i in range(dn - dd, -1, -1):
-            q = rem[i + dd] * lc_inv
-            quot[i] = q
-            if q.is_zero():
-                continue
-            for j in range(dd + 1):
-                rem[i + j] = rem[i + j] - q * divisor.coefficients[j]
-        return Polynomial(quot), Polynomial(rem[:dd])
+        a, b, x = _promote(self, divisor)
+        la, lb = _trimmed_len(a), _trimmed_len(b)
+        if lb == 0:
+            raise PolynomialDivisionError("division by zero polynomial")
+        q, r = _divmod_arrays(a[:la], b[:lb], x)
+        return Polynomial.from_array(q, x), Polynomial.from_array(r, x)
 
     def divide(self, divisor: "Polynomial") -> tuple:
         return self.naive_divide(divisor)
@@ -345,36 +613,48 @@ class Polynomial:
     def clean_divide(self, divisor: "Polynomial") -> "Polynomial":
         """Exact division, where the caller guarantees divisibility
         (polynomial.rs:2334-2413). Small sizes use long division; large
-        sizes evaluate both operands on a coset lifted into the extension
-        field (where spurious root collisions cannot happen for base-field
-        operands) and divide pointwise."""
+        sizes evaluate both operands on a coset whose offset is lifted into
+        the *extension field*, where a base-field divisor cannot vanish —
+        so the pointwise division on the coset is always well-defined."""
         if divisor.degree() < 0:
-            raise ZeroDivisionError("division by zero polynomial")
+            raise PolynomialDivisionError("division by zero polynomial")
         if self.degree() < CLEAN_DIVIDE_CUTOFF or divisor.degree() < 1:
             q, r = self.naive_divide(divisor)
-            assert r.is_zero(), "clean_divide: division was not clean"
+            if not r.is_zero():
+                raise PolynomialError("clean_divide: division was not clean")
+            return q
+        if self._x or divisor._x:
+            # extension-field operands: no lift available one level up;
+            # fall back to exact long division.
+            q, r = self.naive_divide(divisor)
+            if not r.is_zero():
+                raise PolynomialError("clean_divide: division was not clean")
             return q
         result_len = self.degree() - divisor.degree() + 1
-        n = 1 << max((self.degree()).bit_length(), 1)
-        offset = BFieldElement.generator()
+        n = 1 << max(self.degree().bit_length(), 1)
+        # offset = g * x: an extension-field element outside every proper
+        # subfield, so a nonzero base-field polynomial cannot vanish on the
+        # whole coset offset*<omega> (polynomial.rs:2334-2413 lifts the
+        # same way).
+        offset = XFieldElement((0, GENERATOR, 0))
         num = self.scale(offset)
         den = divisor.scale(offset)
-        num_c = num.coefficients[: num.degree() + 1]
-        den_c = den.coefficients[: den.degree() + 1]
-        zero = self._field_zero()
-        num_c += [zero] * (n - len(num_c))
-        den_c += [den._field_zero()] * (n - len(den_c))
-        fn_ = ntt_mod.ntt(num_c)
-        fd_ = ntt_mod.ntt(den_c)
-        # pointwise division; fall back to long division on root collision
-        try:
-            quot_evals = [a / b for a, b in zip(fn_, fd_)]
-        except ZeroDivisionError:
-            q, r = self.naive_divide(divisor)
-            assert r.is_zero(), "clean_divide: division was not clean"
-            return q
-        q = Polynomial(ntt_mod.intt(quot_evals)[:result_len])
-        return q.scale(offset.inverse())
+        na, da_ = num.to_array(), den.to_array()
+        pn, pd = _zeros(n, True), _zeros(n, True)
+        pn[: na.shape[0]] = na
+        pd[: da_.shape[0]] = da_
+        fn_ = ntt_mod.ntt_values(pn.T)
+        fd_ = ntt_mod.ntt_values(pd.T)
+        quot_evals = xgf.mul(fn_.T, xgf.inverse(fd_.T))
+        coeffs = ntt_mod.ntt_values(quot_evals.T, inverse=True).T[:result_len]
+        q = Polynomial.from_array(coeffs, True).scale(offset.inverse())
+        # the quotient of base-field operands is base-field: unlift
+        arr = q.to_array()
+        if arr.shape[0] and (arr[:, 1].any() or arr[:, 2].any()):
+            raise PolynomialError("clean_divide: division was not clean")
+        out = _zeros(result_len, False)
+        out[: arr.shape[0]] = arr[:, 0] if arr.shape[0] else out[:0]
+        return Polynomial.from_array(out, False)
 
     def xgcd(self, other: "Polynomial") -> tuple:
         """Extended Euclid; gcd is normalized monic (polynomial.rs:616-649).
@@ -401,7 +681,7 @@ class Polynomial:
     def reduce(self, modulus: "Polynomial") -> "Polynomial":
         """self mod modulus (dispatcher, polynomial.rs:989-1002)."""
         if modulus.degree() < 0:
-            raise ZeroDivisionError("reduction modulo zero polynomial")
+            raise PolynomialDivisionError("reduction modulo zero polynomial")
         if (
             self.degree() < FAST_REDUCE_CUTOFF_THRESHOLD
             or modulus.degree() < 1
@@ -412,49 +692,110 @@ class Polynomial:
         return self.fast_reduce(modulus)
 
     def fast_reduce(self, modulus: "Polynomial") -> "Polynomial":
-        """Chunked reduction via a structured multiple (polynomial.rs:1010-1046).
-
-        Phase 1: reduce modulo a structured multiple M = x^k + tail of the
-        modulus (so x^k ≡ -tail), folding the high part down with NTT
-        multiplies until the degree drops below k. Phase 2: one long
-        division by the modulus finishes the job. The remainder is unique,
-        so this matches `divide` exactly.
-        """
+        """Chunked reduction via a structured multiple (polynomial.rs:1010-1046)."""
         d = modulus.degree()
-        multiple = modulus.structured_multiple()  # x^(2d+1) + tail, deg tail < d
+        multiple = modulus.structured_multiple()  # x^(2d+1) + tail
         k = multiple.degree()
-        neg_tail = Polynomial(
-            [self._field_zero() - c
-             for c in multiple.coefficients[:d]]
-        )
+        tail = multiple.to_array()[:d]
+        neg_tail = Polynomial.from_array(gfn.neg(tail), multiple._x)
         current = self.normalize()
         while current.degree() >= k:
-            low = Polynomial(current.coefficients[:k])
-            high = Polynomial(current.coefficients[k:])
+            arr = current.to_array()
+            low = Polynomial.from_array(arr[:k], current._x)
+            high = Polynomial.from_array(arr[k:], current._x)
             current = low + high * neg_tail
         _, r = current.divide(modulus)
         return r
 
+    def shift_factor_ntt_with_tail_length(self) -> tuple[np.ndarray, int]:
+        """NTT of a structured multiple + its tail length, the preprocessing
+        for reduce_by_ntt_friendly_modulus (polynomial.rs:1051-1074)."""
+        n = max(FAST_REDUCE_CUTOFF_THRESHOLD, 2 * max(self.degree(), 0))
+        n = 1 << (n - 1).bit_length()
+        multiple = self.structured_multiple_of_degree(n)
+        arr = multiple.to_array()
+        body = arr[:-1] if arr.shape[0] else arr
+        m = _trimmed_len(body)
+        m = max(m, 1)
+        shift = _zeros(n, self._x)
+        shift[: min(n, arr.shape[0])] = arr[:n]
+        if self._x:
+            shift_ntt = ntt_mod.ntt_values(shift.T).T
+        else:
+            shift_ntt = ntt_mod.ntt_values(shift)
+        return shift_ntt, m
+
+    def reduce_by_ntt_friendly_modulus(self, shift_ntt: np.ndarray,
+                                       tail_length: int) -> "Polynomial":
+        """Reduce by a structured modulus X^(n-tail)+tail given in NTT form
+        (polynomial.rs:1087-1144)."""
+        x = self._x
+        domain_length = shift_ntt.shape[0]
+        if domain_length & (domain_length - 1):
+            raise PolynomialError("shift table length must be a power of two")
+        chunk_size = domain_length - tail_length
+        coeffs = self._c
+        if coeffs.shape[0] < chunk_size + tail_length:
+            return Polynomial.from_array(coeffs.copy(), x)
+        num_reducible_chunks = -(-(coeffs.shape[0] - (tail_length + chunk_size))
+                                 // chunk_size)
+        range_start = num_reducible_chunks * chunk_size
+        window = _zeros(chunk_size + tail_length, x)
+        if range_start < coeffs.shape[0]:
+            take = coeffs.shape[0] - range_start
+            window[:take] = coeffs[range_start:]
+        for chunk_index in range(num_reducible_chunks - 1, -1, -1):
+            product = _zeros(domain_length, x)
+            product[:chunk_size] = window[tail_length:]
+            if x:
+                fp = ntt_mod.ntt_values(product.T).T
+                fp = xgf.mul(fp, shift_ntt)
+                product = ntt_mod.ntt_values(fp.T, inverse=True).T
+            else:
+                fp = ntt_mod.ntt_values(product)
+                fp = gfn.mul(fp, shift_ntt)
+                product = ntt_mod.ntt_values(fp, inverse=True)
+            new_window = _zeros(chunk_size + tail_length, x)
+            new_window[chunk_size:] = window[:tail_length]
+            stop = min(chunk_size, coeffs.shape[0] - chunk_index * chunk_size)
+            new_window[:stop] = coeffs[
+                chunk_index * chunk_size: chunk_index * chunk_size + stop]
+            window = gfn.sub(new_window,
+                             product[: chunk_size + tail_length])
+        return Polynomial.from_array(window, x)
+
     def formal_power_series_inverse_minimal(self, precision: int) -> "Polynomial":
         """Minimal-degree g with self*g == 1 mod x^precision
         (polynomial.rs:657-675), by explicit coefficient recurrence."""
-        f0 = self.coefficient(0)
-        assert not f0.is_zero(), "constant term must be invertible"
-        f0_inv = f0.inverse()
-        out = [f0_inv]
+        x = self._x
+        if self._c.shape[0] == 0 or not (
+            self._c[0].any() if x else self._c[0]
+        ):
+            raise PolynomialError("constant term must be invertible")
+        f0_inv = _finv(self._c[0:1], x)[0]
+        out = _zeros(precision, x)
+        out[0] = f0_inv
+        k = min(_trimmed_len(self._c) - 1, precision)
         for i in range(1, precision):
-            acc = _zero_like(f0)
-            for j in range(1, min(i, len(self.coefficients) - 1) + 1):
-                acc = acc + self.coefficient(j) * out[i - j]
-            out.append(-acc * f0_inv)
-        return Polynomial(out)
+            j_max = min(i, k)
+            if j_max >= 1:
+                terms = _fmul(self._c[1: j_max + 1],
+                              out[i - j_max: i][::-1], x)
+                acc = _fsum(terms, x)
+            else:
+                acc = _zeros(1, x)[0]
+            out[i] = _fmul(gfn.neg(acc), f0_inv, x)
+        return Polynomial.from_array(out, x)
 
     def formal_power_series_inverse_newton(self, precision: int) -> "Polynomial":
         """Newton iteration g <- g*(2 - f*g), doubling precision
         (polynomial.rs:1281-1361)."""
-        f0 = self.coefficient(0)
-        assert not f0.is_zero(), "constant term must be invertible"
-        g = Polynomial([f0.inverse()])
+        x = self._x
+        if self._c.shape[0] == 0 or not (
+            self._c[0].any() if x else self._c[0]
+        ):
+            raise PolynomialError("constant term must be invertible")
+        g = Polynomial.from_array(_finv(self._c[0:1], x), x)
         current = 1
         two = Polynomial([bfe(2)])
         while current < precision:
@@ -470,13 +811,15 @@ class Polynomial:
         """A multiple of self of the form x^n + (tail of degree < deg(self)),
         via reversal + formal power series inverse (polynomial.rs:1161-1186)."""
         deg = self.degree()
-        assert deg >= 0 and n >= deg
+        if deg < 0 or n < deg:
+            raise PolynomialError(
+                "structured multiple needs deg >= 0 and n >= deg")
         if deg == 0:
             return Polynomial.x_to_the(n)
-        rev = Polynomial(list(reversed(self.coefficients[: deg + 1])))
+        rev = Polynomial.from_array(self.to_array()[::-1].copy(), self._x)
         inv = rev.formal_power_series_inverse_newton(n - deg + 1)
-        q = Polynomial(list(reversed(inv.mod_x_to_the_n(n - deg + 1)
-                                     .coefficients)))
+        q = Polynomial.from_array(
+            inv.mod_x_to_the_n(n - deg + 1).to_array()[::-1].copy(), inv._x)
         return (q * self).normalize()
 
     # -- zerofiers ----------------------------------------------------------
@@ -491,19 +834,22 @@ class Polynomial:
 
     @staticmethod
     def smart_zerofier(domain: Sequence) -> "Polynomial":
-        """Incremental O(n^2) construction (polynomial.rs:1462-1474)."""
-        if len(domain) == 0:
+        """Incremental O(n^2) construction, vectorized inner loop
+        (polynomial.rs:1462-1474)."""
+        pts, x = _to_field_array(domain)
+        n = pts.shape[0]
+        if n == 0:
             return Polynomial.one()
-        zero = _zero_like(domain[0])
-        one = _one_like(domain[0])
-        coeffs = [zero] * (len(domain) + 1)
-        coeffs[0] = one
-        for k, root in enumerate(domain):
-            neg_root = zero - root
-            for i in range(k + 1, 0, -1):
-                coeffs[i] = coeffs[i - 1] + neg_root * coeffs[i]
-            coeffs[0] = coeffs[0] * neg_root
-        return Polynomial(coeffs)
+        acc = _zeros(n + 1, x)
+        acc[0] = _one_row(x)
+        zero_row = _zeros(1, x)
+        for k in range(n):
+            neg_root = gfn.neg(pts[k])
+            scaled = _fmul_scalar(acc[: k + 1], neg_root, x)
+            shifted = np.concatenate([zero_row, acc[: k + 1]], axis=0)
+            acc[: k + 2] = gfn.add(shifted,
+                                   np.concatenate([scaled, zero_row], axis=0))
+        return Polynomial.from_array(acc, x)
 
     @staticmethod
     def fast_zerofier(domain: Sequence) -> "Polynomial":
@@ -520,16 +866,12 @@ class Polynomial:
     # -- evaluation ----------------------------------------------------------
 
     def evaluate(self, point):
-        """Horner evaluation; the point may live in the extension of the
+        """Evaluate at one point; the point may live in the extension of the
         coefficient field (polynomial.rs:309-329)."""
-        if isinstance(point, int):
-            point = bfe(point)
-        acc = None
-        for c in reversed(self.coefficients):
-            acc = c if acc is None else acc * point + c
-        if acc is None:
-            return _zero_like(point)
-        return acc if not isinstance(acc, int) else bfe(acc)
+        s = _scalar_value(point)
+        px = _is_x_scalar(s)
+        out = _eval_one(self._c, self._x, s, px)
+        return _obj(out, self._x or px)
 
     evaluate_in_same_field = evaluate
 
@@ -539,36 +881,53 @@ class Polynomial:
         divide-and-conquer."""
         if len(domain) == 0:
             return []
-        if self.degree() >= 4 * len(domain):
-            tree = ZerofierTree.new_from_domain(domain)
-            reduced = self.reduce(tree.zerofier())
-            return reduced.divide_and_conquer_batch_evaluate(tree)
-        tree = ZerofierTree.new_from_domain(domain)
-        return self.divide_and_conquer_batch_evaluate(tree)
+        pts, px = _to_field_array(domain)
+        out = self._batch_evaluate_arr(pts, px)
+        return _objs_from_array(out, self._x or px)
 
     par_batch_evaluate = batch_evaluate
+
+    def _batch_evaluate_arr(self, pts: np.ndarray, px: bool) -> np.ndarray:
+        m = pts.shape[0]
+        if self.degree() < 0:
+            return _zeros(m, self._x or px)
+        if self.degree() <= max(2 * m, RECURSION_CUTOFF_THRESHOLD):
+            return _eval_many(self.to_array(), self._x, pts, px)
+        tree = ZerofierTree.new_from_domain(
+            _objs_from_array(pts, px))
+        reduced = self.reduce(tree.zerofier())
+        out = reduced._dc_eval_arr(tree.root, px)
+        return out
 
     def divide_and_conquer_batch_evaluate(self, tree: ZerofierTree) -> list:
         if tree.root is None:
             return []
-        return self._dc_eval(tree.root)
+        first_leaf = tree.root
+        while not first_leaf.is_leaf:
+            first_leaf = first_leaf.left
+        _, px = _to_field_array(first_leaf.points)
+        return _objs_from_array(self._dc_eval_arr(tree.root, px),
+                                self._x or px)
 
-    def _dc_eval(self, node) -> list:
+    def _dc_eval_arr(self, node, px: bool) -> np.ndarray:
         if node.is_leaf:
-            return [self.evaluate(p) for p in node.points]
-        out = []
+            pts, px2 = _to_field_array(node.points)
+            return _eval_many(self.to_array(), self._x, pts, px2)
+        outs = []
         for child in (node.left, node.right):
             if child is not None:
                 reduced = self.reduce(child.zerofier)
-                out.extend(reduced._dc_eval(child))
-        return out
+                outs.append(reduced._dc_eval_arr(child, px))
+        return np.concatenate(outs, axis=0)
 
     # -- interpolation -------------------------------------------------------
 
     @staticmethod
     def interpolate(domain: Sequence, values: Sequence) -> "Polynomial":
         """Unique interpolant of degree < n (polynomial.rs:1502-1543)."""
-        assert len(domain) == len(values) and len(domain) > 0
+        if len(domain) != len(values) or len(domain) == 0:
+            raise PolynomialError(
+                "interpolation needs a nonempty domain matching the values")
         if len(domain) < FAST_INTERPOLATE_CUTOFF_THRESHOLD_PARALLEL:
             return Polynomial.lagrange_interpolate(domain, values)
         return Polynomial.fast_interpolate(domain, values)
@@ -577,106 +936,319 @@ class Polynomial:
 
     @staticmethod
     def lagrange_interpolate(domain: Sequence, values: Sequence) -> "Polynomial":
-        """Zerofier-based O(n^2) Lagrange (polynomial.rs:1565-1607)."""
-        n = len(domain)
-        assert n == len(values) and n > 0
+        """Zerofier-based O(n^2) Lagrange (polynomial.rs:1565-1607),
+        vectorized over the domain axis."""
+        pts, px = _to_field_array(domain)
+        vals, vx = _to_field_array(values)
+        x = px or vx
+        if x and not px:
+            pts = _lift3(pts)
+        if x and not vx:
+            vals = _lift3(vals)
+        n = pts.shape[0]
+        if n != vals.shape[0] or n == 0:
+            raise PolynomialError(
+                "interpolation needs a nonempty domain matching the values")
         if n == 1:
-            return Polynomial([values[0]])
-        zerofier = Polynomial.zerofier(domain)
-        # For each i: zerofier / (x - domain[i]) evaluated formulation
-        # via synthetic division + batch-inverted denominators.
-        denominators = []
-        numerator_polys = []
-        for i in range(n):
-            quotient, _ = _synthetic_divide(zerofier, domain[i])
-            numerator_polys.append(quotient)
-            denominators.append(quotient.evaluate(domain[i]))
-        if isinstance(denominators[0], XFieldElement):
-            inverses = XFieldElement.batch_inversion(denominators)
+            return Polynomial.from_array(vals[:1].copy(), x)
+        zerofier = Polynomial.zerofier(
+            _objs_from_array(pts, px) if not x else
+            _objs_from_array(pts, True))
+        z = zerofier.to_array()  # length n+1, monic
+        # Synthetic-division quotients for all i at once:
+        #   q_i[n-1] = z[n];  q_i[j-1] = z[j] + d_i * q_i[j]
+        # -> (n, n) matrix Q[i, j], vectorized over i.
+        Q = _zeros((0, 0) == () and 0 or 0, x)  # placeholder, replaced below
+        Q = np.zeros((n, n, 3) if x else (n, n), dtype=np.uint64)
+        col = np.broadcast_to(z[n], pts.shape).copy()
+        Q[:, n - 1] = col
+        for j in range(n - 1, 0, -1):
+            col = gfn.add(np.broadcast_to(z[j], pts.shape),
+                          _fmul(col, pts, x))
+            Q[:, j - 1] = col
+        # denominators: d_i applied once more finishes Horner = Z'(d_i)
+        denom = gfn.add(np.broadcast_to(z[0], pts.shape),
+                        _fmul(col, pts, x))
+        # Actually the Horner above computed N_i(d_i) progressively; the
+        # final denominator is N_i evaluated at d_i:
+        denom = _eval_rows(Q, pts, x)
+        inv = _finv(denom, x)
+        w = _fmul(vals, inv, x)
+        if x:
+            terms = xgf.mul(Q, w[:, None, :])
         else:
-            inverses = BFieldElement.batch_inversion(denominators)
-        zero = _zero_like(values[0] * domain[0])
-        acc = [zero] * n
-        for i in range(n):
-            scalar = values[i] * inverses[i]
-            if scalar.is_zero():
-                continue
-            for j, c in enumerate(numerator_polys[i].coefficients):
-                acc[j] = acc[j] + c * scalar
-        return Polynomial(acc)
+            terms = gfn.mul(Q, w[:, None])
+        return Polynomial.from_array(_fsum(terms, x), x)
 
     @staticmethod
     def fast_interpolate(domain: Sequence, values: Sequence) -> "Polynomial":
         """Recursive half-domain interpolation with batch-inverted offsets
         (polynomial.rs:1611-1701)."""
-        n = len(domain)
-        assert n == len(values) and n > 0
-        if n <= FAST_INTERPOLATE_CUTOFF_THRESHOLD_PARALLEL:
-            return Polynomial.lagrange_interpolate(domain, values)
-        mid = n // 2
-        ld, rd = list(domain[:mid]), list(domain[mid:])
-        lv, rv = list(values[:mid]), list(values[mid:])
-        left_zerofier = Polynomial.zerofier(ld)
-        right_zerofier = Polynomial.zerofier(rd)
-        left_offset = right_zerofier.batch_evaluate(ld)
-        right_offset = left_zerofier.batch_evaluate(rd)
-        if isinstance(left_offset[0], XFieldElement):
-            inv = XFieldElement.batch_inversion(left_offset + right_offset)
-        else:
-            inv = BFieldElement.batch_inversion(left_offset + right_offset)
-        left_targets = [v * i for v, i in zip(lv, inv[:mid])]
-        right_targets = [v * i for v, i in zip(rv, inv[mid:])]
-        left_interp = Polynomial.fast_interpolate(ld, left_targets)
-        right_interp = Polynomial.fast_interpolate(rd, right_targets)
-        return left_interp * right_zerofier + right_interp * left_zerofier
+        if len(domain) != len(values) or len(domain) == 0:
+            raise PolynomialError(
+                "interpolation needs a nonempty domain matching the values")
+        return Polynomial.batch_fast_interpolate(domain, [values])[0]
 
     par_fast_interpolate = fast_interpolate
 
     @staticmethod
     def batch_fast_interpolate(domain: Sequence, value_batches: Sequence
                                ) -> list:
-        """Interpolate many value sets on one shared domain
+        """Interpolate many value sets on one shared domain, sharing the
+        zerofier/offset-inverse work across batches via memoization
         (polynomial.rs:1703-1837)."""
-        return [Polynomial.interpolate(domain, v) for v in value_batches]
+        if len(domain) == 0:
+            raise PolynomialError("cannot interpolate through zero points")
+        pts, px = _to_field_array(domain)
+        batches = []
+        x_any = px
+        for v in value_batches:
+            arr, vx = _to_field_array(v)
+            x_any = x_any or vx
+            batches.append((arr, vx))
+        x = x_any
+        pts_x = _lift3(pts) if (x and not px) else pts
+        mats = [(_lift3(a) if (x and not vx) else a) for a, vx in batches]
+        zerofier_memo: dict = {}
+        offset_inv_memo: dict = {}
+        polys = Polynomial._batch_interp_memo(
+            pts_x, x, mats, zerofier_memo, offset_inv_memo)
+        return polys
+
+    @staticmethod
+    def _batch_interp_memo(pts: np.ndarray, x: bool, mats: list,
+                           zerofier_memo: dict, offset_inv_memo: dict,
+                           lo: int = 0, hi: int | None = None) -> list:
+        if hi is None:
+            hi = pts.shape[0]
+        n = hi - lo
+        if n < BATCH_INTERPOLATE_CUTOFF:
+            dom_objs = _objs_from_array(pts[lo:hi], x)
+            return [
+                Polynomial.lagrange_interpolate(
+                    dom_objs, _objs_from_array(m, x))
+                for m in mats
+            ]
+        half = n // 2
+        mid = lo + half
+        lkey, rkey = (lo, mid), (mid, hi)
+        lzero = zerofier_memo.get(lkey)
+        if lzero is None:
+            lzero = Polynomial.zerofier(_objs_from_array(pts[lo:mid], x))
+            zerofier_memo[lkey] = lzero
+        rzero = zerofier_memo.get(rkey)
+        if rzero is None:
+            rzero = Polynomial.zerofier(_objs_from_array(pts[mid:hi], x))
+            zerofier_memo[rkey] = rzero
+        linv = offset_inv_memo.get(lkey)
+        if linv is None:
+            lvals = rzero._batch_evaluate_arr(pts[lo:mid], x)
+            linv = _finv(lvals, x)
+            offset_inv_memo[lkey] = linv
+        rinv = offset_inv_memo.get(rkey)
+        if rinv is None:
+            rvals = lzero._batch_evaluate_arr(pts[mid:hi], x)
+            rinv = _finv(rvals, x)
+            offset_inv_memo[rkey] = rinv
+        left_targets = [_fmul(m[:half], linv, x) for m in mats]
+        right_targets = [_fmul(m[half:], rinv, x) for m in mats]
+        left_polys = Polynomial._batch_interp_memo(
+            pts, x, left_targets, zerofier_memo, offset_inv_memo, lo, mid)
+        right_polys = Polynomial._batch_interp_memo(
+            pts, x, right_targets, zerofier_memo, offset_inv_memo, mid, hi)
+        return [
+            lp * rzero + rp * lzero
+            for lp, rp in zip(left_polys, right_polys)
+        ]
 
     # -- coset (Reed-Solomon) transforms -------------------------------------
 
     def fast_coset_evaluate(self, offset, order: int) -> list:
         """Evaluate on the coset offset * <omega> of size `order`:
         scale then NTT (polynomial.rs:1374-1399)."""
-        assert order & (order - 1) == 0
-        assert self.degree() < order
-        scaled = self.scale(offset)
-        coeffs = scaled.coefficients[: scaled.degree() + 1]
-        coeffs += [self._field_zero()] * (order - len(coeffs))
-        return ntt_mod.ntt(coeffs)
+        if order & (order - 1) or order == 0:
+            raise PolynomialError("coset order must be a power of two")
+        if self.degree() >= order:
+            raise PolynomialError("degree must be less than the coset order")
+        arr = self.fast_coset_evaluate_array(offset, order)
+        return _objs_from_array(arr, self._x)
+
+    def fast_coset_evaluate_array(self, offset, order: int) -> np.ndarray:
+        s = _scalar_value(offset)
+        scaled = self.scale(s if not _is_x_scalar(s) else _obj(s, True))
+        arr = scaled.to_array()
+        padded = _zeros(order, scaled._x)
+        padded[: arr.shape[0]] = arr
+        if scaled._x:
+            return ntt_mod.ntt_values(padded.T).T
+        return ntt_mod.ntt_values(padded)
 
     @staticmethod
     def fast_coset_interpolate(offset, values: Sequence) -> "Polynomial":
         """iNTT then scale by offset^-1 (polynomial.rs:1907-1918)."""
-        coeffs = ntt_mod.intt(list(values))
-        if isinstance(offset, int):
-            offset = bfe(offset)
-        return Polynomial(coeffs).scale(offset.inverse())
+        vals, vx = _to_field_array(values)
+        if vx:
+            coeffs = ntt_mod.ntt_values(vals.T, inverse=True).T
+        else:
+            coeffs = ntt_mod.ntt_values(vals, inverse=True)
+        s = _scalar_value(offset)
+        inv = _scalar_pow(s, 0, False)  # placeholder
+        if _is_x_scalar(s):
+            inv_obj = _obj(s, True).inverse()
+        else:
+            inv_obj = BFieldElement(int(s)).inverse()
+        return Polynomial.from_array(coeffs, vx).scale(inv_obj)
+
+    # -- modular coset interpolation (polynomial.rs:1963-2113) ---------------
+
+    @staticmethod
+    def fast_modular_coset_interpolate(values, offset, modulus: "Polynomial",
+                                       preprocessed=None) -> "Polynomial":
+        """f(X) mod m(X) where f interpolates `values` on the coset
+        offset*<omega_n> (polynomial.rs:2002-2113). Three-way dispatch:
+        Lagrange (< 2^8), iNTT + structured reduce (<= 2^17), recursive
+        even/odd split with sparse zerofiers and the (-2)^-1 trick."""
+        vals, vx = _to_field_array(values)
+        off = np.uint64(_scalar_value(offset))
+        if modulus.degree() < 0:
+            raise PolynomialDivisionError("cannot reduce modulo zero")
+        n = vals.shape[0]
+        if preprocessed is None:
+            preprocessed = Polynomial.fast_modular_coset_interpolate_preprocess(
+                n, offset, modulus)
+        return Polynomial._fmci(vals, vx, int(off), modulus, preprocessed)
+
+    @staticmethod
+    def fast_modular_coset_interpolate_preprocess(
+            n: int, offset, modulus: "Polynomial"
+    ) -> "ModularInterpolationPreprocessingData":
+        """Preprocessing: modularly-reduced sparse zerofiers for every
+        recursion level + the NTT-friendly multiple of the modulus
+        (polynomial.rs:1963-1997)."""
+        off = int(np.uint64(_scalar_value(offset)))
+        log_n = max(n.bit_length() - 1, 0)
+        omega = int(ntt_mod.PRIMITIVE_ROOTS[n]) if n > 1 else 1
+        # X^(2^i) mod m(X), by repeated modular squaring
+        modular_squares = []
+        acc = Polynomial.x_to_the(1)
+        for _ in range(log_n):
+            modular_squares.append(acc)
+            acc = acc.multiply(acc).reduce(modulus)
+        off_inv = pow(off, P - 2, P)
+        off_omega_inv = pow(off * omega % P, P - 2, P)
+        even_zerofiers = []
+        odd_zerofiers = []
+        one = Polynomial.one()
+        for i in range(log_n):
+            lc_e = pow(off_inv, 1 << i, P)
+            lc_o = pow(off_omega_inv, 1 << i, P)
+            even_zerofiers.append(
+                modular_squares[i].scalar_mul(bfe(lc_e)) - one)
+            odd_zerofiers.append(
+                modular_squares[i].scalar_mul(bfe(lc_o)) - one)
+        shift_ntt, tail_length = modulus.shift_factor_ntt_with_tail_length()
+        return ModularInterpolationPreprocessingData(
+            even_zerofiers, odd_zerofiers, shift_ntt, tail_length)
+
+    @staticmethod
+    def _fmci(vals: np.ndarray, vx: bool, off: int, modulus: "Polynomial",
+              pre) -> "Polynomial":
+        n = vals.shape[0]
+        omega = int(ntt_mod.PRIMITIVE_ROOTS[n]) if n > 1 else 1
+        if n < FAST_MODULAR_COSET_INTERPOLATE_CUTOFF_THRESHOLD_PREFER_LAGRANGE:
+            domain = gfn.powers(omega, n)
+            domain = gfn.mul(domain, np.uint64(off))
+            interpolant = Polynomial.lagrange_interpolate(
+                domain if not vx else _lift3(domain), vals)
+            return interpolant.reduce(modulus)
+        if n <= FAST_MODULAR_COSET_INTERPOLATE_CUTOFF_THRESHOLD_PREFER_INTT:
+            if vx:
+                coeffs = ntt_mod.ntt_values(vals.T, inverse=True).T
+            else:
+                coeffs = ntt_mod.ntt_values(vals, inverse=True)
+            interpolant = Polynomial.from_array(coeffs, vx).scale(
+                bfe(pow(off, P - 2, P)))
+            return interpolant.reduce_by_ntt_friendly_modulus(
+                pre.shift_coefficients, pre.tail_length).reduce(modulus)
+        # recursion: even/odd split; zerofier cross-evaluations are the
+        # constant -2, so targets are just values * (-2)^-1
+        minus_two_inv = np.uint64(pow(P - 2, P - 2, P))
+        even_targets = _fmul(vals[0::2], minus_two_inv, False) if not vx \
+            else gfn.mul(vals[0::2], minus_two_inv)
+        odd_targets = gfn.mul(vals[1::2], minus_two_inv)
+        even_interp = Polynomial._fmci(even_targets, vx, off, modulus, pre)
+        odd_interp = Polynomial._fmci(odd_targets, vx, off * omega % P,
+                                      modulus, pre)
+        level = (n // 2).bit_length() - 1
+        interpolant = (
+            even_interp.multiply(pre.odd_zerofiers[level])
+            + odd_interp.multiply(pre.even_zerofiers[level])
+        )
+        return interpolant.reduce(modulus)
+
+    # -- extrapolation (polynomial.rs:2117-2331) ------------------------------
 
     @staticmethod
     def coset_extrapolate(domain_offset, codeword: Sequence, points: Sequence
                           ) -> list:
         """Extrapolate a codeword over coset `domain_offset * <omega>` to
-        arbitrary points (polynomial.rs:2117-2331)."""
+        arbitrary points; dispatch per polynomial.rs:2117-2127."""
+        if len(points) < FAST_COSET_EXTRAPOLATE_THRESHOLD:
+            return Polynomial._fast_coset_extrapolate(
+                domain_offset, codeword, points)
+        return Polynomial._naive_coset_extrapolate(
+            domain_offset, codeword, points)
+
+    @staticmethod
+    def _fast_coset_extrapolate(domain_offset, codeword, points) -> list:
+        zerofier_tree = ZerofierTree.new_from_domain(points)
+        minimal_interpolant = Polynomial.fast_modular_coset_interpolate(
+            codeword, domain_offset, zerofier_tree.zerofier())
+        return minimal_interpolant.divide_and_conquer_batch_evaluate(
+            zerofier_tree)
+
+    @staticmethod
+    def _naive_coset_extrapolate(domain_offset, codeword, points) -> list:
         poly = Polynomial.fast_coset_interpolate(domain_offset, codeword)
         return poly.batch_evaluate(points)
 
     @staticmethod
     def batch_coset_extrapolate(domain_offset, codeword_length: int,
                                 codewords: Sequence, points: Sequence) -> list:
-        """Many codewords, one domain, shared points (flattened results)."""
-        out = []
-        for i in range(0, len(codewords), codeword_length):
-            codeword = codewords[i: i + codeword_length]
-            out.extend(
-                Polynomial.coset_extrapolate(domain_offset, codeword, points)
-            )
+        """Many codewords, one domain, shared points (flattened results);
+        preprocessing shared across codewords (polynomial.rs:2188-2253)."""
+        if codeword_length & (codeword_length - 1) or codeword_length == 0:
+            raise PolynomialError("codeword length must be a power of two")
+        cw, cx = _to_field_array(codewords)
+        num = cw.shape[0] // codeword_length
+        out: list = []
+        if len(points) < FAST_COSET_EXTRAPOLATE_THRESHOLD:
+            zerofier_tree = ZerofierTree.new_from_domain(points)
+            modulus = zerofier_tree.zerofier()
+            pre = Polynomial.fast_modular_coset_interpolate_preprocess(
+                codeword_length, domain_offset, modulus)
+            for i in range(num):
+                piece = cw[i * codeword_length: (i + 1) * codeword_length]
+                interp = Polynomial.fast_modular_coset_interpolate(
+                    piece, domain_offset, modulus, preprocessed=pre)
+                out.extend(
+                    interp.divide_and_conquer_batch_evaluate(zerofier_tree))
+            return out
+        zerofier_tree = ZerofierTree.new_from_domain(points)
+        shift_ntt, tail_length = \
+            zerofier_tree.zerofier().shift_factor_ntt_with_tail_length()
+        inv_obj = _coerce_scalar_obj(domain_offset).inverse()
+        for i in range(num):
+            piece = cw[i * codeword_length: (i + 1) * codeword_length]
+            if cx:
+                coeffs = ntt_mod.ntt_values(piece.T, inverse=True).T
+            else:
+                coeffs = ntt_mod.ntt_values(piece, inverse=True)
+            poly = Polynomial.from_array(coeffs, cx).scale(inv_obj)
+            reduced = poly.reduce_by_ntt_friendly_modulus(
+                shift_ntt, tail_length)
+            out.extend(reduced.divide_and_conquer_batch_evaluate(
+                zerofier_tree))
         return out
 
     par_batch_coset_extrapolate = batch_coset_extrapolate
@@ -704,31 +1276,46 @@ class Polynomial:
     @staticmethod
     def get_colinear_y(p0, p1, x):
         (ax, ay), (bx, by) = p0, p1
-        assert ax != bx, "unique line requires distinct x-coordinates"
+        if ax == bx:
+            raise PolynomialError(
+                "unique line requires distinct x-coordinates")
         return (by - ay) * (x - ax) / (bx - ax) + ay
 
 
-def _coerce_poly(x) -> Polynomial:
+@dataclass
+class ModularInterpolationPreprocessingData:
+    """Preprocessed tables for fast modular coset interpolation
+    (polynomial.rs:171-184)."""
+
+    even_zerofiers: list
+    odd_zerofiers: list
+    shift_coefficients: np.ndarray
+    tail_length: int
+
+
+def _eval_rows(Q: np.ndarray, pts: np.ndarray, x: bool) -> np.ndarray:
+    """Row-wise Horner: evaluate polynomial in row i at pts[i]."""
+    n = Q.shape[1]
+    acc = Q[:, n - 1].copy()
+    for j in range(n - 2, -1, -1):
+        acc = gfn.add(_fmul(acc, pts, x), Q[:, j])
+    return acc
+
+
+def _coerce_scalar_obj(v):
+    if isinstance(v, (BFieldElement, XFieldElement)):
+        return v
+    return bfe(int(v))
+
+
+def _coerce_poly(x):
     if isinstance(x, Polynomial):
         return x
     if isinstance(x, (BFieldElement, XFieldElement)):
         return Polynomial([x])
     if isinstance(x, int):
         return Polynomial([bfe(x)])
-    raise TypeError(f"cannot coerce {type(x)} to Polynomial")
-
-
-def _synthetic_divide(poly: Polynomial, root):
-    """Divide poly by (x - root) via synthetic division -> (quotient, rem)."""
-    deg = poly.degree()
-    if deg < 0:
-        return Polynomial.zero(), _zero_like(root)
-    out = [None] * deg
-    acc = poly.coefficients[deg]
-    for i in range(deg - 1, -1, -1):
-        out[i] = acc
-        acc = acc * root + poly.coefficients[i]
-    return Polynomial(out), acc
+    return NotImplemented
 
 
 # ---------------------------------------------------------------------------
@@ -743,23 +1330,27 @@ def barycentric_evaluate(codeword: Sequence, indeterminate):
         p(z) = [sum_i c_i * w_i / (z - d_i)] / [sum_i w_i / (z - d_i)]
 
     with d_i = omega^i. Requires z outside the domain."""
-    n = len(codeword)
-    assert n & (n - 1) == 0 and n > 0
-    root = BFieldElement.primitive_root_of_unity(n)
-    domain = []
-    acc = bfe(1)
-    for _ in range(n):
-        domain.append(acc)
-        acc = acc * root
-    diffs = [indeterminate - d for d in domain]
-    if isinstance(diffs[0], XFieldElement):
-        inv = XFieldElement.batch_inversion(diffs)
+    cw, cx = _to_field_array(codeword)
+    n = cw.shape[0]
+    if n == 0 or n & (n - 1):
+        raise PolynomialError("codeword length must be a power of two")
+    z = _scalar_value(indeterminate)
+    zx = _is_x_scalar(z)
+    x = cx or zx
+    domain = gfn.powers(int(ntt_mod.PRIMITIVE_ROOTS[n]) if n > 1 else 1, n)
+    if zx:
+        diffs = gfn.sub(np.broadcast_to(z, (n, 3)).copy(), _lift3(domain))
     else:
-        inv = BFieldElement.batch_inversion(diffs)
-    numerator = None
-    denominator = None
-    for c, d, iv in zip(codeword, domain, inv):
-        term = d * iv
-        numerator = c * term if numerator is None else numerator + c * term
-        denominator = term if denominator is None else denominator + term
-    return numerator / denominator
+        diffs = gfn.sub(np.broadcast_to(z, (n,)), domain)
+    inv = _finv(diffs, zx)
+    if zx:
+        terms_w = gfn.mul(inv, domain[:, None])
+    else:
+        terms_w = gfn.mul(inv, domain)
+    cw_x = _lift3(cw) if (x and not cx) else cw
+    tw_x = _lift3(terms_w) if (x and not zx) else terms_w
+    numerator = _fsum(_fmul(cw_x, tw_x, x), x)
+    denominator = _fsum(tw_x, x)
+    num_obj = _obj(numerator, x)
+    den_obj = _obj(denominator, x)
+    return num_obj / den_obj
