@@ -1,0 +1,272 @@
+"""fast_modular_coset_interpolate + extrapolation dispatch + clean_divide.
+
+Covers VERDICT r1 items 2/5/9/10: all three dispatch branches of the
+modular coset interpolation (lagrange / iNTT+structured-reduce / recursive
+even-odd split), the extrapolation dispatchers, memoized batch
+interpolation, the extension-field-coset clean division, and typed errors.
+"""
+
+import numpy as np
+import pytest
+
+import twenty_first_tpu.math.polynomial as poly_mod
+from twenty_first_tpu.errors import (
+    PolynomialDivisionError,
+    PolynomialError,
+)
+from twenty_first_tpu.math.b_field_element import BFieldElement, bfe, P
+from twenty_first_tpu.math.polynomial import Polynomial
+from twenty_first_tpu.math.x_field_element import XFieldElement, xfe
+
+RNG = np.random.default_rng(42)
+
+
+def rand_poly(deg, field="b"):
+    vals = RNG.integers(0, P, size=(deg + 1, 3), dtype=np.uint64)
+    if field == "b":
+        return Polynomial.from_array(vals[:, 0].copy())
+    return Polynomial.from_array(vals.copy(), extension=True)
+
+
+def rand_values(n, field="b"):
+    vals = RNG.integers(0, P, size=(n, 3), dtype=np.uint64)
+    if field == "b":
+        return [bfe(int(v[0])) for v in vals]
+    return [xfe((int(v[0]), int(v[1]), int(v[2]))) for v in vals]
+
+
+def oracle_modular_interpolate(values, offset, modulus):
+    interp = Polynomial.fast_coset_interpolate(offset, values)
+    return interp.reduce(modulus)
+
+
+class TestFastModularCosetInterpolate:
+    @pytest.mark.parametrize("field", ["b", "x"])
+    def test_lagrange_branch(self, field):
+        values = rand_values(32, field)
+        modulus = rand_poly(5)
+        offset = bfe(7)
+        got = Polynomial.fast_modular_coset_interpolate(
+            values, offset, modulus)
+        assert got == oracle_modular_interpolate(values, offset, modulus)
+
+    @pytest.mark.parametrize("field", ["b", "x"])
+    def test_intt_branch(self, field):
+        values = rand_values(512, field)
+        modulus = rand_poly(9)
+        offset = bfe(7)
+        got = Polynomial.fast_modular_coset_interpolate(
+            values, offset, modulus)
+        assert got == oracle_modular_interpolate(values, offset, modulus)
+
+    def test_recursion_branch(self, monkeypatch):
+        # shrink the cutoffs so the even/odd recursion runs at small n,
+        # the same trick the reference plays with cfg!(test) cutoffs
+        monkeypatch.setattr(
+            poly_mod,
+            "FAST_MODULAR_COSET_INTERPOLATE_CUTOFF_THRESHOLD_PREFER_LAGRANGE",
+            8,
+        )
+        monkeypatch.setattr(
+            poly_mod,
+            "FAST_MODULAR_COSET_INTERPOLATE_CUTOFF_THRESHOLD_PREFER_INTT",
+            16,
+        )
+        for field in ("b", "x"):
+            values = rand_values(128, field)
+            modulus = rand_poly(4)
+            offset = bfe(9)
+            got = Polynomial.fast_modular_coset_interpolate(
+                values, offset, modulus)
+            assert got == oracle_modular_interpolate(values, offset, modulus)
+
+    def test_shared_preprocessing(self):
+        values = rand_values(64)
+        modulus = rand_poly(6)
+        offset = bfe(3)
+        pre = Polynomial.fast_modular_coset_interpolate_preprocess(
+            64, offset, modulus)
+        got = Polynomial.fast_modular_coset_interpolate(
+            values, offset, modulus, preprocessed=pre)
+        assert got == oracle_modular_interpolate(values, offset, modulus)
+
+    def test_zero_modulus_raises(self):
+        with pytest.raises(PolynomialDivisionError):
+            Polynomial.fast_modular_coset_interpolate(
+                rand_values(16), bfe(7), Polynomial.zero())
+
+
+class TestReduceByNttFriendlyModulus:
+    @pytest.mark.parametrize("field", ["b", "x"])
+    def test_matches_reduce(self, field):
+        f = rand_poly(700, field)
+        modulus = rand_poly(20)
+        shift_ntt, tail = modulus.shift_factor_ntt_with_tail_length()
+        got = f.reduce_by_ntt_friendly_modulus(shift_ntt, tail)
+        # the structured multiple's remainder is a further-reducible form;
+        # reducing both by the modulus must agree
+        assert got.reduce(modulus) == f.reduce(modulus)
+        # and the degree must already be below the structured multiple's
+        assert got.degree() < shift_ntt.shape[0]
+
+
+class TestCosetExtrapolateDispatch:
+    @pytest.mark.parametrize("field", ["b", "x"])
+    @pytest.mark.parametrize("n_points", [3, 128])
+    def test_matches_naive(self, field, n_points):
+        n = 64
+        codeword = rand_values(n, field)
+        points = rand_values(n_points, field)
+        offset = bfe(7)
+        interp = Polynomial.fast_coset_interpolate(offset, codeword)
+        expect = [interp.evaluate(p) for p in points]
+        got = Polynomial.coset_extrapolate(offset, codeword, points)
+        assert got == expect
+
+    @pytest.mark.parametrize("n_points", [2, 120])
+    def test_batch_matches_single(self, n_points):
+        n = 32
+        codewords = rand_values(3 * n)
+        points = rand_values(n_points)
+        offset = bfe(7)
+        got = Polynomial.batch_coset_extrapolate(offset, n, codewords, points)
+        expect = []
+        for i in range(3):
+            expect.extend(Polynomial.coset_extrapolate(
+                offset, codewords[i * n: (i + 1) * n], points))
+        assert got == expect
+
+    def test_reference_doc_example(self):
+        # polynomial.rs:2168-2186
+        n = 1 << 5
+        codewords = [bfe(3)] * n + [bfe(2)] * n
+        points = [bfe(0), bfe(1)]
+        got = Polynomial.batch_coset_extrapolate(bfe(7), n, codewords, points)
+        assert got == [bfe(3), bfe(3), bfe(2), bfe(2)]
+
+
+class TestBatchFastInterpolate:
+    def test_matches_individual(self):
+        domain = rand_values(64)
+        batches = [rand_values(64) for _ in range(5)]
+        got = Polynomial.batch_fast_interpolate(domain, batches)
+        for g, vals in zip(got, batches):
+            assert g == Polynomial.interpolate(domain, vals)
+            assert [g.evaluate(d) for d in domain] == vals
+
+    def test_memoization_shares_work(self):
+        import twenty_first_tpu.math.polynomial as pm
+
+        domain = rand_values(64)
+        batches = [rand_values(64) for _ in range(8)]
+        calls = {"n": 0}
+        orig = Polynomial.zerofier
+
+        def counting(dom):
+            calls["n"] += 1
+            return orig(dom)
+
+        try:
+            Polynomial.zerofier = staticmethod(counting)
+            Polynomial.batch_fast_interpolate(domain, batches)
+            shared = calls["n"]
+            calls["n"] = 0
+            for vals in batches:
+                Polynomial.fast_interpolate(domain, vals)
+            individual = calls["n"]
+        finally:
+            Polynomial.zerofier = staticmethod(orig)
+        assert shared < individual / 4
+
+    def test_empty_domain_raises(self):
+        with pytest.raises(PolynomialError):
+            Polynomial.batch_fast_interpolate([], [[]])
+
+
+class TestCleanDivide:
+    def test_adversarial_root_on_base_coset(self):
+        # divisor with a root exactly on the base-field coset g*<omega>,
+        # which made the old base-field-offset formulation divide by zero;
+        # the extension-field lift must stay on the fast path
+        # (polynomial.rs:2334-2413).
+        n = 1 << 10
+        g = BFieldElement.generator()
+        omega = BFieldElement.primitive_root_of_unity(n)
+        root = g * omega  # on the coset
+        divisor = Polynomial([-root, bfe(1)])  # x - g*omega
+        quotient = rand_poly(1 << 10)
+        product = quotient * divisor
+        assert product.degree() >= poly_mod.CLEAN_DIVIDE_CUTOFF
+        got = product.clean_divide(divisor)
+        assert got == quotient
+
+    def test_many_coset_roots(self):
+        n = 1 << 7
+        g = BFieldElement.generator()
+        omega = BFieldElement.primitive_root_of_unity(n)
+        roots = [g * omega.mod_pow(i) for i in range(5)]
+        divisor = Polynomial.zerofier(roots)
+        quotient = rand_poly(600)
+        product = quotient * divisor
+        assert product.clean_divide(divisor) == quotient
+
+    def test_not_clean_raises(self):
+        a = rand_poly(600)
+        d = rand_poly(3)
+        with pytest.raises(PolynomialError):
+            (a * d + Polynomial.one()).clean_divide(d)
+
+    def test_zero_divisor_raises(self):
+        with pytest.raises(PolynomialDivisionError):
+            rand_poly(5).clean_divide(Polynomial.zero())
+
+
+class TestTypedErrors:
+    def test_divide_by_zero(self):
+        err = None
+        try:
+            rand_poly(3).divide(Polynomial.zero())
+        except Exception as e:
+            err = e
+        assert isinstance(err, PolynomialDivisionError)
+        assert isinstance(err, ZeroDivisionError)  # legacy compatibility
+
+    def test_reduce_by_zero(self):
+        with pytest.raises(PolynomialDivisionError):
+            rand_poly(3).reduce(Polynomial.zero())
+
+    def test_interpolate_mismatch(self):
+        with pytest.raises(PolynomialError):
+            Polynomial.interpolate([bfe(1)], [bfe(1), bfe(2)])
+
+    def test_coset_order_not_power_of_two(self):
+        with pytest.raises(PolynomialError):
+            rand_poly(3).fast_coset_evaluate(bfe(7), 12)
+
+    def test_power_series_needs_unit(self):
+        with pytest.raises(PolynomialError):
+            Polynomial([0, 1]).formal_power_series_inverse_newton(8)
+
+
+class TestArrayApi:
+    def test_roundtrip_base(self):
+        arr = RNG.integers(0, P, size=17, dtype=np.uint64)
+        p = Polynomial.from_array(arr)
+        assert np.array_equal(p.to_array(), arr) or int(arr[-1]) == 0
+        assert not p.is_extension
+
+    def test_roundtrip_extension(self):
+        arr = RNG.integers(0, P, size=(9, 3), dtype=np.uint64)
+        p = Polynomial.from_array(arr)
+        assert p.is_extension
+        objs = p.coefficients
+        assert all(isinstance(o, XFieldElement) for o in objs)
+        assert Polynomial(objs) == p
+
+    def test_cross_field_mixing(self):
+        b = rand_poly(6, "b")
+        x = rand_poly(4, "x")
+        assert (b + x) - x == b.scalar_mul(xfe(1)) or (b + x) - x == b
+        prod = b * x
+        assert prod.is_extension
+        assert prod.evaluate(bfe(5)) == b.evaluate(bfe(5)) * x.evaluate(bfe(5))

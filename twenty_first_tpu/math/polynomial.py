@@ -729,12 +729,13 @@ class Polynomial:
                                        tail_length: int) -> "Polynomial":
         """Reduce by a structured modulus X^(n-tail)+tail given in NTT form
         (polynomial.rs:1087-1144)."""
-        x = self._x
+        sx = shift_ntt.ndim == 2
+        x = self._x or sx
         domain_length = shift_ntt.shape[0]
         if domain_length & (domain_length - 1):
             raise PolynomialError("shift table length must be a power of two")
         chunk_size = domain_length - tail_length
-        coeffs = self._c
+        coeffs = _lift3(self._c) if (x and not self._x) else self._c
         if coeffs.shape[0] < chunk_size + tail_length:
             return Polynomial.from_array(coeffs.copy(), x)
         num_reducible_chunks = -(-(coeffs.shape[0] - (tail_length + chunk_size))
@@ -749,7 +750,10 @@ class Polynomial:
             product[:chunk_size] = window[tail_length:]
             if x:
                 fp = ntt_mod.ntt_values(product.T).T
-                fp = xgf.mul(fp, shift_ntt)
+                if sx:
+                    fp = xgf.mul(fp, shift_ntt)
+                else:
+                    fp = gfn.mul(fp, shift_ntt[:, None])
                 product = ntt_mod.ntt_values(fp.T, inverse=True).T
             else:
                 fp = ntt_mod.ntt_values(product)
@@ -949,36 +953,8 @@ class Polynomial:
         if n != vals.shape[0] or n == 0:
             raise PolynomialError(
                 "interpolation needs a nonempty domain matching the values")
-        if n == 1:
-            return Polynomial.from_array(vals[:1].copy(), x)
-        zerofier = Polynomial.zerofier(
-            _objs_from_array(pts, px) if not x else
-            _objs_from_array(pts, True))
-        z = zerofier.to_array()  # length n+1, monic
-        # Synthetic-division quotients for all i at once:
-        #   q_i[n-1] = z[n];  q_i[j-1] = z[j] + d_i * q_i[j]
-        # -> (n, n) matrix Q[i, j], vectorized over i.
-        Q = _zeros((0, 0) == () and 0 or 0, x)  # placeholder, replaced below
-        Q = np.zeros((n, n, 3) if x else (n, n), dtype=np.uint64)
-        col = np.broadcast_to(z[n], pts.shape).copy()
-        Q[:, n - 1] = col
-        for j in range(n - 1, 0, -1):
-            col = gfn.add(np.broadcast_to(z[j], pts.shape),
-                          _fmul(col, pts, x))
-            Q[:, j - 1] = col
-        # denominators: d_i applied once more finishes Horner = Z'(d_i)
-        denom = gfn.add(np.broadcast_to(z[0], pts.shape),
-                        _fmul(col, pts, x))
-        # Actually the Horner above computed N_i(d_i) progressively; the
-        # final denominator is N_i evaluated at d_i:
-        denom = _eval_rows(Q, pts, x)
-        inv = _finv(denom, x)
-        w = _fmul(vals, inv, x)
-        if x:
-            terms = xgf.mul(Q, w[:, None, :])
-        else:
-            terms = gfn.mul(Q, w[:, None])
-        return Polynomial.from_array(_fsum(terms, x), x)
+        Q, inv = _lagrange_precompute(pts, x)
+        return Polynomial.from_array(_lagrange_apply(Q, inv, vals, x), x)
 
     @staticmethod
     def fast_interpolate(domain: Sequence, values: Sequence) -> "Polynomial":
@@ -1023,10 +999,14 @@ class Polynomial:
             hi = pts.shape[0]
         n = hi - lo
         if n < BATCH_INTERPOLATE_CUTOFF:
-            dom_objs = _objs_from_array(pts[lo:hi], x)
+            key = ("leaf", lo, hi)
+            tables = offset_inv_memo.get(key)
+            if tables is None:
+                tables = _lagrange_precompute(pts[lo:hi], x)
+                offset_inv_memo[key] = tables
+            Q, inv = tables
             return [
-                Polynomial.lagrange_interpolate(
-                    dom_objs, _objs_from_array(m, x))
+                Polynomial.from_array(_lagrange_apply(Q, inv, m, x), x)
                 for m in mats
             ]
         half = n // 2
@@ -1171,14 +1151,18 @@ class Polynomial:
             return interpolant.reduce_by_ntt_friendly_modulus(
                 pre.shift_coefficients, pre.tail_length).reduce(modulus)
         # recursion: even/odd split; zerofier cross-evaluations are the
-        # constant -2, so targets are just values * (-2)^-1
+        # constant -2, so targets are just values * (-2)^-1. The sub-calls
+        # rebuild preprocessing for their own (offset, omega) pair, exactly
+        # as the reference's recursive call through the public entry point
+        # does (polynomial.rs:2102-2106) — the parent's zerofier tables are
+        # built against the parent's omega and do not apply below.
         minus_two_inv = np.uint64(pow(P - 2, P - 2, P))
-        even_targets = _fmul(vals[0::2], minus_two_inv, False) if not vx \
-            else gfn.mul(vals[0::2], minus_two_inv)
+        even_targets = gfn.mul(vals[0::2], minus_two_inv)
         odd_targets = gfn.mul(vals[1::2], minus_two_inv)
-        even_interp = Polynomial._fmci(even_targets, vx, off, modulus, pre)
-        odd_interp = Polynomial._fmci(odd_targets, vx, off * omega % P,
-                                      modulus, pre)
+        even_interp = Polynomial.fast_modular_coset_interpolate(
+            even_targets, bfe(off), modulus)
+        odd_interp = Polynomial.fast_modular_coset_interpolate(
+            odd_targets, bfe(off * omega % P), modulus)
         level = (n // 2).bit_length() - 1
         interpolant = (
             even_interp.multiply(pre.odd_zerofiers[level])
@@ -1291,6 +1275,40 @@ class ModularInterpolationPreprocessingData:
     odd_zerofiers: list
     shift_coefficients: np.ndarray
     tail_length: int
+
+
+def _lagrange_precompute(pts: np.ndarray, x: bool
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-domain Lagrange tables: the synthetic-division quotient matrix
+    Q[i, j] (coefficients of Z/(X - d_i)) and the inverted denominators
+    Q_i(d_i). Shared across value batches (polynomial.rs:1565-1607)."""
+    n = pts.shape[0]
+    if n == 1:
+        Q = np.ones((1, 1, 3) if x else (1, 1), dtype=np.uint64)
+        if x:
+            Q[0, 0] = [1, 0, 0]
+        return Q, _finv(Q[:, 0].copy(), x)
+    zerofier = Polynomial.zerofier(_objs_from_array(pts, x))
+    z = zerofier.to_array()  # length n+1, monic
+    # q_i[n-1] = z[n];  q_i[j-1] = z[j] + d_i * q_i[j], vectorized over i
+    Q = np.zeros((n, n, 3) if x else (n, n), dtype=np.uint64)
+    col = np.broadcast_to(z[n], pts.shape).copy()
+    Q[:, n - 1] = col
+    for j in range(n - 1, 0, -1):
+        col = gfn.add(np.broadcast_to(z[j], pts.shape), _fmul(col, pts, x))
+        Q[:, j - 1] = col
+    denom = _eval_rows(Q, pts, x)
+    return Q, _finv(denom, x)
+
+
+def _lagrange_apply(Q: np.ndarray, inv: np.ndarray, vals: np.ndarray,
+                    x: bool) -> np.ndarray:
+    w = _fmul(vals, inv, x)
+    if x:
+        terms = xgf.mul(Q, w[:, None, :])
+    else:
+        terms = gfn.mul(Q, w[:, None])
+    return _fsum(terms, x)
 
 
 def _eval_rows(Q: np.ndarray, pts: np.ndarray, x: bool) -> np.ndarray:

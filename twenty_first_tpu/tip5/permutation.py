@@ -29,6 +29,8 @@ permutation snapshot test pins this.
 from __future__ import annotations
 
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -251,6 +253,86 @@ def hash_varlen(values) -> np.ndarray:
     padded[..., length] = 1
     out = _hash_varlen_padded(gf.to_limbs(padded))
     return gf.from_limbs(out)
+
+
+# ---------------------------------------------------------------------------
+# Ragged (mixed-length) batched hashing
+# ---------------------------------------------------------------------------
+#
+# The reference hashes variable-length inputs one at a time through the
+# sponge (tip5/mod.rs:617-623, sponge.rs:32-56). The TPU-native equivalent
+# batches inputs of DIFFERENT lengths: inputs are grouped into power-of-two
+# chunk-count buckets, each bucket runs ONE compiled graph — a lax.scan over
+# absorption chunks where lanes whose input is exhausted keep their state
+# (masked select). Power-of-two bucketing of both the chunk count and the
+# batch height bounds the number of distinct compilations at O(log^2).
+
+
+@functools.lru_cache(maxsize=None)
+def _ragged_bucket_graph(num_chunks: int, group: int):
+    @jax.jit
+    def run(lo, hi, counts):
+        chunks_lo = lo.reshape(group, num_chunks, RATE).transpose(1, 0, 2)
+        chunks_hi = hi.reshape(group, num_chunks, RATE).transpose(1, 0, 2)
+        state = (
+            jnp.zeros((group, STATE_SIZE), _U32),
+            jnp.zeros((group, STATE_SIZE), _U32),
+        )
+
+        def body(carry, xs):
+            slo, shi = carry
+            clo, chi, i = xs
+            new = permutation((
+                jnp.concatenate([clo, slo[:, RATE:]], axis=-1),
+                jnp.concatenate([chi, shi[:, RATE:]], axis=-1),
+            ))
+            active = (i < counts)[:, None]
+            return (
+                jnp.where(active, new[0], slo),
+                jnp.where(active, new[1], shi),
+            ), None
+
+        (slo, shi), _ = jax.lax.scan(
+            body, state,
+            (chunks_lo, chunks_hi, jnp.arange(num_chunks, dtype=jnp.int32)))
+        return slo[:, : 5], shi[:, : 5]
+
+    return run
+
+
+def hash_varlen_ragged(inputs) -> np.ndarray:
+    """Hash a batch of variable-length inputs on device: list of uint64
+    arrays (any lengths, including 0) -> (N, 5) uint64 digests.
+
+    Bit-exact with the scalar sponge (pad 1,0,...,0 then absorb chunk-wise,
+    tip5/mod.rs:617-623); lengths are mixed freely within one call."""
+    from collections import defaultdict
+
+    arrs = [np.asarray(v, dtype=np.uint64).ravel() for v in inputs]
+    n = len(arrs)
+    out = np.empty((n, 5), dtype=np.uint64)
+    if n == 0:
+        return out
+    chunk_counts = [(a.size + 1 + RATE - 1) // RATE for a in arrs]
+    buckets: dict[int, list[int]] = defaultdict(list)
+    for idx, k in enumerate(chunk_counts):
+        b = 1 << (k - 1).bit_length() if k > 1 else 1
+        buckets[b].append(idx)
+    for b, idxs in sorted(buckets.items()):
+        g = len(idxs)
+        group = 1 << (g - 1).bit_length() if g > 1 else 1
+        padded = np.zeros((group, b * RATE), dtype=np.uint64)
+        counts = np.zeros(group, dtype=np.int32)
+        for row, i in enumerate(idxs):
+            a = arrs[i]
+            padded[row, : a.size] = a
+            padded[row, a.size] = 1
+            counts[row] = chunk_counts[i]
+        lo, hi = gf.to_limbs(padded)
+        res = _ragged_bucket_graph(b, group)(lo, hi, jnp.asarray(counts))
+        vals = gf.from_limbs(res)
+        out[idxs] = vals[:g]
+    return out
 
 
 def permutation_values(states) -> np.ndarray:

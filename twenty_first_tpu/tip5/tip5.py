@@ -131,6 +131,28 @@ class Tip5(Sponge):
 
         return cls.hash_varlen(encode(value))
 
+    @classmethod
+    def hash_varlen_batch(cls, inputs: Sequence[Sequence]) -> list[Digest]:
+        """Hash many variable-length inputs at once on device (ragged
+        batching; see permutation.hash_varlen_ragged). Inputs may have
+        mixed lengths. Bit-exact with hash_varlen applied one by one."""
+        from . import permutation as device
+
+        arrs = [
+            np.array([bfe(e).value() for e in seq], dtype=np.uint64)
+            if not isinstance(seq, np.ndarray) else seq
+            for seq in inputs
+        ]
+        out = device.hash_varlen_ragged(arrs)
+        return [Digest.from_array(row) for row in out]
+
+    @classmethod
+    def hash_batch(cls, values: Sequence) -> list[Digest]:
+        """Hash many objects via their BFieldCodec encodings, on device."""
+        from ..math.bfield_codec import encode
+
+        return cls.hash_varlen_batch([encode(v) for v in values])
+
     # -- Fiat-Shamir helpers -------------------------------------------------
 
     def sample_indices(self, upper_bound: int, num_indices: int) -> list[int]:
