@@ -1,14 +1,20 @@
 """Benchmark harness: prints ONE JSON line with the headline metric.
 
-Headline: Goldilocks NTT 2^24 throughput (elements/s) on one chip. Extras:
-Tip5 permutation throughput and the Merkle 2^20-leaf commit.
+Headline: Goldilocks NTT 2^24 throughput (elements/s) on one chip.
+Extras mirror the reference's criterion bench suite
+(twenty-first/benches/*.rs): Tip5 hash_10 / hash_pair / hash_varlen /
+65536-batch, Merkle commit heights 16/20 + auth-structure open/verify,
+polynomial evaluate/interpolate/extrapolate/multiply/clean-divide/zerofier,
+lattice KEM roundtrip, codec roundtrip.
 
 Timing methodology: the remote-TPU tunnel in this environment makes
 `block_until_ready` non-blocking and per-call readbacks expensive, so naive
-per-call timing is dishonest in both directions. Each kernel is therefore
-timed as a *k-fold chained application inside one jit* with an in-graph
-checksum reduced to a scalar; the difference t(k_hi) - t(k_lo) divided by
-(k_hi - k_lo) isolates pure device compute from dispatch/transfer overhead.
+per-call timing is dishonest in both directions. Device kernels are
+therefore timed as a *k-fold chained application inside one jit* with an
+in-graph checksum reduced to a scalar; the difference t(k_hi) - t(k_lo)
+divided by (k_hi - k_lo) isolates pure device compute. Host-side benches
+(the polynomial object API, KEM, codec) use plain wall timing — they ARE
+host code.
 
 The reference publishes no absolute numbers (BASELINE.md), so vs_baseline
 is 1.0 against the empty published set. A persistent XLA compilation cache
@@ -62,6 +68,14 @@ def main():
             highs.append(time.perf_counter() - t0)
         return (min(highs) - min(lows)) / (k_hi - k_lo)
 
+    def timed_host(fn, reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
     # --- headline: NTT 2^24 (four-step) ------------------------------------
     log_n = int(os.environ.get("BENCH_NTT_LOG_N", "24"))
     n = 1 << log_n
@@ -80,9 +94,9 @@ def main():
     ntt_elems_per_s = n / t_ntt
     extras[f"ntt_2^{log_n}_s"] = t_ntt
 
-    # --- Tip5 permutation throughput ---------------------------------------
+    # --- Tip5 permutation / hash_10 / hash_pair throughput ------------------
     if remaining() > 120:
-        batch = 1 << 19
+        batch = 1 << 16  # the reference's parallel bench batch (tip5.rs)
         states = rng.integers(0, p, size=(batch, 16), dtype=np.uint64)
         slo, shi = (jax.device_put(v) for v in gf.to_limbs(states))
 
@@ -96,11 +110,143 @@ def main():
 
         t_perm = timed_chain(perm_chain, (slo, shi), 1, 17)
         extras["tip5_permutations_per_s"] = batch / t_perm
+        extras["tip5_hash_10_batch_65536_s"] = t_perm  # 1 permutation each
+        extras["tip5_hash_pair_per_s"] = batch / t_perm
 
-        # Merkle 2^20 commit is hash-pair bound: 2^20 - 1 permutations.
-        extras["merkle_2^20_commit_s_derived"] = ((1 << 20) - 1) / (
-            batch / t_perm
-        )
+    # --- Tip5 hash_varlen (length 16386, reference bench shape) ------------
+    if remaining() > 90:
+        rows = 64
+        data = rng.integers(0, p, size=(rows, 16386), dtype=np.uint64)
+        padded = np.zeros((rows, 16390), dtype=np.uint64)
+        padded[:, :16386] = data
+        padded[:, 16386] = 1
+        vlo, vhi = (jax.device_put(v) for v in gf.to_limbs(padded))
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def varlen_chain(a, b, k):
+            def body(i, acc):
+                o = tip5_dev.hash_varlen_padded((a, b))
+                return (acc[0] + jnp.sum(o[0], dtype=jnp.uint32),
+                        acc[1] + jnp.sum(o[1], dtype=jnp.uint32))
+            o = jax.lax.fori_loop(
+                0, k, body,
+                (jnp.zeros((), jnp.uint32), jnp.zeros((), jnp.uint32)))
+            return o[0] + o[1]
+
+        t_varlen = timed_chain(varlen_chain, (vlo, vhi), 1, 3)
+        extras["tip5_hash_varlen_16386_s"] = t_varlen / rows
+
+    # --- Merkle commit heights 16 / 20 (in-graph layered reduction) --------
+    if remaining() > 90:
+        from twenty_first_tpu.parallel import dist_merkle
+
+        for height in (16, 20):
+            if remaining() < 60:
+                break
+            leafs = rng.integers(0, p, size=(1 << height, 5), dtype=np.uint64)
+            llo, lhi = (jax.device_put(v) for v in gf.to_limbs(leafs))
+
+            @functools.partial(jax.jit, static_argnames=("k",))
+            def merkle_chain(a, b, k, height=height):
+                def body(i, acc):
+                    r = dist_merkle._reduce_layers((a, b), height)
+                    return (acc[0] + jnp.sum(r[0], dtype=jnp.uint32),
+                            acc[1] + jnp.sum(r[1], dtype=jnp.uint32))
+                o = jax.lax.fori_loop(
+                    0, k, body,
+                    (jnp.zeros((), jnp.uint32), jnp.zeros((), jnp.uint32)))
+                return o[0] + o[1]
+
+            t_merkle = timed_chain(merkle_chain, (llo, lhi), 1, 3, reps=2)
+            extras[f"merkle_2^{height}_commit_s"] = t_merkle
+
+    # --- Merkle auth-structure open + verify (host path) -------------------
+    if remaining() > 60:
+        from twenty_first_tpu.util_types.merkle_tree import (
+            MerkleTree, MerkleTreeInclusionProof)
+
+        leafs16 = rng.integers(0, p, size=(1 << 10, 5), dtype=np.uint64)
+        tree = MerkleTree.new(leafs16)
+        indices = list(range(0, 1 << 10, 37))
+
+        def open_and_verify():
+            proof = tree.inclusion_proof_for_leaf_indices(indices)
+            assert proof.verify(tree.root())
+
+        extras["merkle_2^10_auth_open_verify_s"] = timed_host(open_and_verify)
+
+    # --- polynomial suite (host object API over vectorized arrays) ---------
+    if remaining() > 60:
+        from twenty_first_tpu.math.polynomial import Polynomial
+        from twenty_first_tpu.math.b_field_element import bfe
+
+        deg = (1 << 14) - 1
+        pa = Polynomial.from_array(
+            rng.integers(0, p, size=deg + 1, dtype=np.uint64))
+        pb = Polynomial.from_array(
+            rng.integers(0, p, size=deg + 1, dtype=np.uint64))
+        extras["poly_multiply_deg_2^14_s"] = timed_host(
+            lambda: pa.fast_multiply(pb))
+
+        dom = rng.integers(1, p, size=1 << 10, dtype=np.uint64)
+        dom = np.unique(dom)[: 1 << 9]
+        vals = rng.integers(0, p, size=dom.shape[0], dtype=np.uint64)
+        extras["poly_interpolate_2^9_s"] = timed_host(
+            lambda: Polynomial.fast_interpolate(dom, vals), reps=2)
+
+        pdeg = Polynomial.from_array(
+            rng.integers(0, p, size=1 << 12, dtype=np.uint64))
+        extras["poly_batch_evaluate_2^12_on_2^9_s"] = timed_host(
+            lambda: pdeg.batch_evaluate([bfe(int(v)) for v in dom]), reps=2)
+
+        extras["poly_zerofier_2^9_s"] = timed_host(
+            lambda: Polynomial.zerofier([bfe(int(v)) for v in dom]), reps=2)
+
+        divisor = Polynomial.zerofier([bfe(int(v)) for v in dom[:64]])
+        product = pdeg * divisor
+        extras["poly_clean_divide_2^12_s"] = timed_host(
+            lambda: product.clean_divide(divisor), reps=2)
+
+    if remaining() > 60:
+        from twenty_first_tpu.math.polynomial import Polynomial
+        from twenty_first_tpu.math.b_field_element import bfe
+
+        codeword = rng.integers(0, p, size=1 << 18, dtype=np.uint64)
+        points = [bfe(int(v)) for v in
+                  np.unique(rng.integers(1, p, size=1 << 10,
+                                         dtype=np.uint64))[: 1 << 9]]
+        extras["poly_coset_extrapolate_2^18_to_2^9_s"] = timed_host(
+            lambda: Polynomial.coset_extrapolate(bfe(7), codeword, points),
+            reps=1)
+
+    # --- lattice KEM roundtrip ---------------------------------------------
+    if remaining() > 30:
+        from twenty_first_tpu.math import lattice
+
+        seed = bytes(rng.integers(0, 256, size=32, dtype=np.uint8))
+
+        def kem_roundtrip():
+            sk, pk = lattice.keygen(seed)
+            shared, ct = lattice.enc(pk, seed)
+            assert lattice.dec(sk, ct) == shared
+
+        extras["kem_roundtrip_s"] = timed_host(kem_roundtrip)
+
+    # --- codec roundtrip -----------------------------------------------------
+    if remaining() > 20:
+        from twenty_first_tpu.math.bfield_codec import BFE, Vec_, encode
+        from twenty_first_tpu.math.b_field_element import bfe
+
+        vec = [bfe(int(v)) for v in
+               rng.integers(0, p, size=1 << 10, dtype=np.uint64)]
+        vec_codec = Vec_(BFE)
+
+        def codec_roundtrip():
+            enc = encode(vec)
+            assert vec_codec.decode(vec_codec.encode(vec)) == vec
+            assert enc is not None
+
+        extras["codec_roundtrip_2^10_s"] = timed_host(codec_roundtrip)
 
     result = {
         "metric": f"ntt_2^{log_n}_goldilocks_elems_per_s_per_chip",

@@ -20,7 +20,7 @@ P = (1 << 64) - (1 << 32) + 1
 rng = np.random.default_rng(0)
 
 
-def timed(fn, args, k_lo=1, k_hi=5, reps=3):
+def timed(fn, args, k_lo=1, k_hi=3, reps=3):
     for k in (k_lo, k_hi):
         int(fn(*args, k=k))
     lows, highs = [], []

@@ -150,3 +150,56 @@ def test_ciphertext_bfe_roundtrip():
     elements = ctxt.to_bfes()
     assert len(elements) == lattice.CIPHERTEXT_SIZE_IN_BFES == 320
     assert Ciphertext.from_bfes(elements) == ctxt
+
+
+class TestKemSerde:
+    """Key/ciphertext serialization roundtrips (lattice.rs:999-1026)."""
+
+    def _fresh(self):
+        import numpy as np
+        from twenty_first_tpu.math import lattice
+
+        rng = np.random.default_rng(99)
+        key_rand = bytes(rng.integers(0, 256, size=32, dtype=np.uint8))
+        ct_rand = bytes(rng.integers(0, 256, size=32, dtype=np.uint8))
+        sk, pk = lattice.keygen(key_rand)
+        shared, ct = lattice.enc(pk, ct_rand)
+        return sk, pk, shared, ct
+
+    def test_bytes_roundtrips(self):
+        from twenty_first_tpu.math import lattice
+
+        sk, pk, shared, ct = self._fresh()
+        assert lattice.SecretKey.from_bytes(sk.to_bytes()) == sk
+        assert lattice.PublicKey.from_bytes(pk.to_bytes()) == pk
+        assert lattice.Ciphertext.from_bytes(ct.to_bytes()) == ct
+
+    def test_json_roundtrips(self):
+        from twenty_first_tpu.math import lattice
+
+        sk, pk, shared, ct = self._fresh()
+        assert lattice.SecretKey.from_json(sk.to_json()) == sk
+        assert lattice.PublicKey.from_json(pk.to_json()) == pk
+        ct2 = lattice.Ciphertext.from_json(ct.to_json())
+        assert ct2 == ct
+        # deserialized ciphertext still decapsulates
+        assert lattice.dec(sk, ct2) == shared
+
+    def test_zeroize(self):
+        sk, _, _, _ = self._fresh()
+        sk.zeroize()
+        assert sk.key == bytes(32) and sk.seed == bytes(32)
+
+    def test_bad_lengths_raise(self):
+        import pytest
+        from twenty_first_tpu.math import lattice
+        from twenty_first_tpu.errors import LatticeError
+
+        with pytest.raises(LatticeError):
+            lattice.SecretKey.from_bytes(b"short")
+        with pytest.raises(LatticeError):
+            lattice.PublicKey.from_bytes(b"short")
+        with pytest.raises(LatticeError):
+            lattice.Ciphertext.from_bytes(b"short")
+        with pytest.raises(LatticeError):
+            lattice.keygen(b"short")

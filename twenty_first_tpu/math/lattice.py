@@ -18,12 +18,14 @@ host; SHAKE256/SHA3-256 come from hashlib (FIPS 202).
 from __future__ import annotations
 
 import hashlib
+import json
 from dataclasses import dataclass
 
 import numpy as np
 
 from . import gf_numpy as gfn
 from .b_field_element import BFieldElement, bfe, P
+from ..errors import LatticeError
 
 N = 64
 LOG_N = 6
@@ -115,7 +117,8 @@ class CyclotomicRingElement:
 
     @classmethod
     def sample_short(cls, randomness: bytes) -> "CyclotomicRingElement":
-        assert len(randomness) >= 8 * N
+        if len(randomness) < 8 * N:
+            raise LatticeError(f"need at least {8 * N} randomness bytes")
         coeffs = [
             sample_short_bfield_element(randomness[8 * i: 8 * i + 8]).value()
             for i in range(N)
@@ -124,7 +127,8 @@ class CyclotomicRingElement:
 
     @classmethod
     def sample_uniform(cls, randomness: bytes) -> "CyclotomicRingElement":
-        assert len(randomness) >= 9 * N
+        if len(randomness) < 9 * N:
+            raise LatticeError(f"need at least {9 * N} randomness bytes")
         coeffs = np.zeros(N, dtype=np.uint64)
         for i in range(N):
             acc = int.from_bytes(randomness[9 * i: 9 * i + 9], "big") % P
@@ -169,7 +173,8 @@ class CyclotomicRingElement:
 def embed_msg(msg: bytes) -> CyclotomicRingElement:
     """32-byte message -> ring element: one bit per 16-bit chunk, at bit 15
     (lattice.rs:333-353)."""
-    assert len(msg) == 32
+    if len(msg) != 32:
+        raise LatticeError("message must be exactly 32 bytes")
     embedding = np.zeros(N, dtype=np.uint64)
     for i, byte in enumerate(msg):
         lo = 0
@@ -208,7 +213,8 @@ _NUM_SET_BITS = np.array([bin(i).count("1") for i in range(256)],
 def sample_short_bfield_element(randomness: bytes) -> BFieldElement:
     """Centered-binomial-ish sampler: popcount difference of two 4-byte
     halves, packed into 16-bit chunks (lattice.rs:410-421)."""
-    assert len(randomness) == 8
+    if len(randomness) != 8:
+        raise LatticeError("need exactly 8 randomness bytes")
     left = sum(
         int(_NUM_SET_BITS[randomness[i]]) << (16 * (3 - i)) for i in range(4)
     )
@@ -227,7 +233,8 @@ class ModuleElement:
 
     def __init__(self, elements):
         if isinstance(elements, np.ndarray):
-            assert elements.ndim == 2 and elements.shape[1] == N
+            if elements.ndim != 2 or elements.shape[1] != N:
+                raise LatticeError("module elements must be (rows, 64)")
             self.elements = elements.astype(np.uint64)
         else:
             self.elements = np.stack(
@@ -245,7 +252,8 @@ class ModuleElement:
 
     @classmethod
     def sample_short(cls, randomness: bytes, n: int) -> "ModuleElement":
-        assert len(randomness) >= 8 * N * n
+        if len(randomness) < 8 * N * n:
+            raise LatticeError("not enough randomness for short sampling")
         return cls([
             CyclotomicRingElement.sample_short(
                 randomness[8 * N * i: 8 * N * (i + 1)]
@@ -255,7 +263,8 @@ class ModuleElement:
 
     @classmethod
     def sample_uniform(cls, randomness: bytes, n: int) -> "ModuleElement":
-        assert len(randomness) >= 9 * N * n
+        if len(randomness) < 9 * N * n:
+            raise LatticeError("not enough randomness for uniform sampling")
         return cls([
             CyclotomicRingElement.sample_uniform(
                 randomness[9 * N * i: 9 * N * (i + 1)]
@@ -276,7 +285,8 @@ class ModuleElement:
     def multiply_hadamard(lhs: "ModuleElement", rhs: "ModuleElement",
                           h: int, inner: int, w: int) -> "ModuleElement":
         """Matrix multiply with Hadamard ring products (NTT domain)."""
-        assert lhs.n == h * inner and rhs.n == inner * w
+        if lhs.n != h * inner or rhs.n != inner * w:
+            raise LatticeError("module shapes do not match the matmul")
         lm = lhs.elements.reshape(h, inner, N)
         rm = rhs.elements.reshape(inner, w, N)
         out = np.zeros((h, w, N), dtype=np.uint64)
@@ -289,7 +299,8 @@ class ModuleElement:
     def multiply(lhs: "ModuleElement", rhs: "ModuleElement",
                  h: int, inner: int, w: int) -> "ModuleElement":
         """Matrix multiply with full (coefficient-domain) ring products."""
-        assert lhs.n == h * inner and rhs.n == inner * w
+        if lhs.n != h * inner or rhs.n != inner * w:
+            raise LatticeError("module shapes do not match the matmul")
         out = [[CyclotomicRingElement.zero() for _ in range(w)]
                for _ in range(h)]
         for r in range(h):
@@ -330,7 +341,8 @@ def _as_u64_array(values, expected_len: int) -> np.ndarray:
              for v in values],
             dtype=np.uint64,
         )
-    assert arr.shape == (expected_len,)
+    if arr.shape != (expected_len,):
+        raise LatticeError(f"expected exactly {expected_len} elements")
     return arr
 
 
@@ -341,14 +353,70 @@ def _as_u64_array(values, expected_len: int) -> np.ndarray:
 
 @dataclass
 class SecretKey:
+    """KEM secret key. The reference zeroizes key material on drop
+    (lattice.rs SecretKey derive(Zeroize)); Python cannot guarantee that,
+    but `zeroize()` scrubs the buffers for callers that manage lifetimes."""
+
     key: bytes  # 32 bytes
     seed: bytes  # 32 bytes
+
+    def to_bytes(self) -> bytes:
+        return bytes(self.key) + bytes(self.seed)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "SecretKey":
+        if len(data) != 64:
+            raise LatticeError("SecretKey needs exactly 64 bytes")
+        return cls(key=data[:32], seed=data[32:])
+
+    def to_json(self) -> str:
+        return json.dumps({"key": self.key.hex(), "seed": self.seed.hex()})
+
+    @classmethod
+    def from_json(cls, s: str) -> "SecretKey":
+        obj = json.loads(s)
+        return cls(key=bytes.fromhex(obj["key"]),
+                   seed=bytes.fromhex(obj["seed"]))
+
+    def zeroize(self) -> None:
+        self.key = bytes(32)
+        self.seed = bytes(32)
+
+
+def _module_to_bytes(m: ModuleElement) -> bytes:
+    return m.elements.astype("<u8").tobytes()
+
+
+def _module_from_bytes(data: bytes, rows: int) -> ModuleElement:
+    arr = np.frombuffer(data, dtype="<u8").astype(np.uint64)
+    if arr.shape != (rows * N,):
+        raise LatticeError(f"expected {rows * N} u64 words")
+    return ModuleElement(arr.reshape(rows, N))
 
 
 @dataclass
 class PublicKey:
     seed: bytes  # 32 bytes
     ga: ModuleElement  # 4-vector, NTT domain
+
+    def to_bytes(self) -> bytes:
+        return bytes(self.seed) + _module_to_bytes(self.ga)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "PublicKey":
+        if len(data) != 32 + 4 * N * 8:
+            raise LatticeError("PublicKey has the wrong byte length")
+        return cls(seed=data[:32], ga=_module_from_bytes(data[32:], 4))
+
+    def to_json(self) -> str:
+        return json.dumps({"seed": self.seed.hex(),
+                           "ga": self.ga.elements.reshape(-1).tolist()})
+
+    @classmethod
+    def from_json(cls, s: str) -> "PublicKey":
+        obj = json.loads(s)
+        arr = np.array(obj["ga"], dtype=np.uint64).reshape(4, N)
+        return cls(seed=bytes.fromhex(obj["seed"]), ga=ModuleElement(arr))
 
 
 @dataclass
@@ -363,11 +431,39 @@ class Ciphertext:
 
     @classmethod
     def from_bfes(cls, elements) -> "Ciphertext":
-        assert len(elements) == CIPHERTEXT_SIZE_IN_BFES
+        if len(elements) != CIPHERTEXT_SIZE_IN_BFES:
+            raise LatticeError(
+                f"Ciphertext needs {CIPHERTEXT_SIZE_IN_BFES} elements")
         flat = np.array([bfe(e).value() for e in elements], dtype=np.uint64)
         return cls(
             bg=ModuleElement(flat[: 4 * N].reshape(4, N)),
             bga_m=ModuleElement(flat[4 * N:].reshape(1, N)),
+        )
+
+    def to_bytes(self) -> bytes:
+        return _module_to_bytes(self.bg) + _module_to_bytes(self.bga_m)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "Ciphertext":
+        if len(data) != 5 * N * 8:
+            raise LatticeError("Ciphertext has the wrong byte length")
+        return cls(bg=_module_from_bytes(data[: 4 * N * 8], 4),
+                   bga_m=_module_from_bytes(data[4 * N * 8:], 1))
+
+    def to_json(self) -> str:
+        return json.dumps({
+            "bg": self.bg.elements.reshape(-1).tolist(),
+            "bga_m": self.bga_m.elements.reshape(-1).tolist(),
+        })
+
+    @classmethod
+    def from_json(cls, s: str) -> "Ciphertext":
+        obj = json.loads(s)
+        return cls(
+            bg=ModuleElement(
+                np.array(obj["bg"], dtype=np.uint64).reshape(4, N)),
+            bga_m=ModuleElement(
+                np.array(obj["bga_m"], dtype=np.uint64).reshape(1, N)),
         )
 
 
@@ -399,7 +495,8 @@ def _derive_public_key(key: bytes, seed: bytes) -> PublicKey:
 
 
 def keygen(randomness: bytes) -> tuple[SecretKey, PublicKey]:
-    assert len(randomness) == 32
+    if len(randomness) != 32:
+        raise LatticeError("keygen needs exactly 32 randomness bytes")
     seed = shake256(randomness + b"\x00", 32)
     key = shake256(randomness + b"\x01", 32)
     sk = SecretKey(key=key, seed=seed)
