@@ -186,7 +186,9 @@ def test_sample_indices():
     indices = sponge.sample_indices(1 << 20, 100)
     assert len(indices) == 100
     assert all(0 <= i < (1 << 20) for i in indices)
-    with pytest.raises(AssertionError):
+    from twenty_first_tpu.errors import SpongeError
+
+    with pytest.raises(SpongeError):
         sponge.sample_indices(1000, 1)  # not a power of two
 
 

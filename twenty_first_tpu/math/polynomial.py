@@ -75,7 +75,17 @@ def _fmul_scalar(arr, s, x: bool):
 
 
 def _finv(arr, x: bool):
-    return xgf.inverse(arr) if x else gfn.inverse(arr)
+    if x:
+        return xgf.inverse(arr)
+    from .. import native
+
+    if native.available() and arr.size and bool(np.all(arr != 0)):
+        # native Montgomery batch inversion: 3n muls + one scalar inverse,
+        # vs the 72-vectorized-mul addition chain — wins on the host for
+        # everything but huge arrays. (Zero entries fall through to the
+        # chain, which maps 0 -> 0.)
+        return native.batch_inverse(np.ascontiguousarray(arr))
+    return gfn.inverse(arr)
 
 
 def _fsum(arr: np.ndarray, x: bool):

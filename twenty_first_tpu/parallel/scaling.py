@@ -105,7 +105,20 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--log-n", type=int, default=18)
     parser.add_argument("--json", action="store_true")
+    # multi-host: a pod run is a flag set, not new code — each host runs
+    # this same script with its process id; jax.distributed wires the rest.
+    parser.add_argument("--coordinator", default=None,
+                        help="host:port of process 0 (multi-host runs)")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     args = parser.parse_args()
+    from .mesh import initialize_distributed
+
+    initialize_distributed(
+        coordinator_address=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
     report = scaling_report(args.log_n)
     if args.json:
         print(json.dumps(report))

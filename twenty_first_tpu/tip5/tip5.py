@@ -20,6 +20,7 @@ import numpy as np
 
 from ..math.b_field_element import BFieldElement, bfe, P, R, R_INV
 from ..math.x_field_element import XFieldElement, EXTENSION_DEGREE
+from ..errors import SpongeError
 from ..util_types.sponge import Domain, Sponge
 from .constants import (
     LOOKUP_TABLE,
@@ -94,7 +95,8 @@ class Tip5(Sponge):
 
     def absorb(self, input_chunk: Sequence) -> None:
         chunk = [bfe(e) for e in input_chunk]
-        assert len(chunk) == RATE
+        if len(chunk) != RATE:
+            raise SpongeError(f"absorb needs exactly {RATE} elements")
         self.state[:RATE] = chunk
         self.permutation()
 
@@ -108,7 +110,8 @@ class Tip5(Sponge):
     @classmethod
     def hash_10(cls, input_elements: Sequence) -> list[BFieldElement]:
         elements = [bfe(e) for e in input_elements]
-        assert len(elements) == RATE
+        if len(elements) != RATE:
+            raise SpongeError(f"hash_10 needs exactly {RATE} elements")
         sponge = cls(Domain.FIXED_LENGTH)
         sponge.state[:RATE] = elements
         sponge.permutation()
@@ -158,7 +161,8 @@ class Tip5(Sponge):
     def sample_indices(self, upper_bound: int, num_indices: int) -> list[int]:
         """Von-Neumann-rejection uniform u32 samples mod a power of two
         (tip5/mod.rs:636-656): squeezed elements equal to p-1 are rejected."""
-        assert upper_bound > 0 and (upper_bound & (upper_bound - 1)) == 0
+        if upper_bound <= 0 or upper_bound & (upper_bound - 1):
+            raise SpongeError("upper_bound must be a power of two")
         indices: list[int] = []
         buffer: list[BFieldElement] = []
         while len(indices) < num_indices:
