@@ -340,6 +340,61 @@ def _four_step_diag_device(log_n: int, inverse: bool):
     return jnp.asarray(lo), jnp.asarray(hi)
 
 
+# Lane width of one slab in the slab-mapped local passes, and the minimum
+# transform size at which slabbing is used. Each lax.map step works on a
+# (n, _SLAB)-lane slab whose full butterfly pipeline stays VMEM-resident, so
+# the local pass costs ONE read+write of HBM instead of one per fused stage.
+# Measured at 2^24 (local pass over 4096x4096): 13.9 ms unslabbed -> 6.0 ms
+# slab=128 (slabs 32/64 are slower: 13.3/19.4 ms; dynamic-slice variant ties).
+_SLAB = 128
+_SLAB_MIN_ELEMS = 1 << 22
+
+
+def _local_pass(x, log_len: int, inverse: bool, diag=None, post_const=None):
+    """NTT over axis -2 of (..., n, w) limb planes, slab-mapped over the lane
+    axis when the matrix is large. Optionally fuses a pointwise multiply by
+    ``diag`` ((n, w) limb planes) and/or by a python-int ``post_const`` into
+    the same pass, saving full HBM round trips."""
+    perm, tw = _device_tables(log_len, inverse)
+    lo, hi = x
+    w = lo.shape[-1]
+
+    def finish(out):
+        if diag is not None:
+            out = gf.mul(out, diag)
+        if post_const is not None:
+            out = gf.mul_const(out, post_const)
+        return out
+
+    if w % _SLAB or lo.size < _SLAB_MIN_ELEMS:
+        return finish(_ntt_core_ax2((lo, hi), perm, tw, log_len))
+    nslab = w // _SLAB
+
+    def to_slabs(a):
+        a = a.reshape(a.shape[:-1] + (nslab, _SLAB))
+        return jnp.moveaxis(a, -2, 0)  # (nslab, ..., n, _SLAB)
+
+    def from_slabs(a):
+        a = jnp.moveaxis(a, 0, -2)
+        return a.reshape(a.shape[:-2] + (w,))
+
+    operands = [to_slabs(lo), to_slabs(hi)]
+    if diag is not None:
+        operands += [to_slabs(diag[0]), to_slabs(diag[1])]
+
+    def body(args):
+        slo, shi = args[0], args[1]
+        out = _ntt_core_ax2((slo, shi), perm, tw, log_len)
+        if diag is not None:
+            out = gf.mul(out, (args[2], args[3]))
+        if post_const is not None:
+            out = gf.mul_const(out, post_const)
+        return out
+
+    olo, ohi = jax.lax.map(body, tuple(operands))
+    return from_slabs(olo), from_slabs(ohi)
+
+
 def four_step_ntt_traceable(x, log_n: int, inverse: bool, diag):
     """Trace-composable four-step NTT over the last axis of (..., n) planes.
 
@@ -348,7 +403,9 @@ def four_step_ntt_traceable(x, log_n: int, inverse: bool, diag):
     Both local transforms run over axis -2 (the _ntt_core_ax2 core) so the
     other factor of the (n2, n1) matrix stays the minor (lane) dimension —
     full VPU width at every butterfly stage, no tiny-stride early stages,
-    and only ONE physical transpose in the whole pipeline.
+    and only ONE physical transpose in the whole pipeline. Large passes are
+    slab-mapped (see _local_pass) with the diagonal twiddle multiply fused
+    into the first pass and the iNTT 1/n scaling into the second.
     """
     lo, hi = x
     log_n1, log_n2 = _four_step_split(log_n)
@@ -356,20 +413,16 @@ def four_step_ntt_traceable(x, log_n: int, inverse: bool, diag):
     batch = lo.shape[:-1]
     lo = lo.reshape(batch + (n2, n1))
     hi = hi.reshape(batch + (n2, n1))
-    # column NTTs (over j2 = axis -2, lanes = n1): -> Y[k2, j1]
-    perm2, tw2 = _device_tables(log_n2, inverse)
-    y = _ntt_core_ax2((lo, hi), perm2, tw2, log_n2)
-    # diagonal twiddle w^(j1*k2), laid out (n2, n1) to match Y
-    y = gf.mul(y, diag)
+    # column NTTs (over j2 = axis -2, lanes = n1) -> Y[k2, j1], fused with
+    # the diagonal twiddle w^(j1*k2), laid out (n2, n1) to match Y
+    y = _local_pass((lo, hi), log_n2, inverse, diag=diag)
     # transpose once to (j1, k2), then row NTTs (over j1 = axis -2,
     # lanes = n2): -> Z[k1, k2], which flattens to natural order k2 + n2*k1.
     y = (jnp.swapaxes(y[0], -1, -2), jnp.swapaxes(y[1], -1, -2))
-    perm1, tw1 = _device_tables(log_n1, inverse)
-    z = _ntt_core_ax2(y, perm1, tw1, log_n1)
+    n_inv = pow(1 << log_n, P - 2, P) if inverse else None
+    z = _local_pass(y, log_n1, inverse, post_const=n_inv)
     zlo = z[0].reshape(batch + (n1 * n2,))
     zhi = z[1].reshape(batch + (n1 * n2,))
-    if inverse:
-        zlo, zhi = gf.mul_const((zlo, zhi), pow(1 << log_n, P - 2, P))
     return zlo, zhi
 
 
