@@ -123,7 +123,7 @@ P = (1 << 64) - (1 << 32) + 1
 vals = rng.integers(0, P, size=1 << 24, dtype=np.uint64)
 LO = jnp.asarray((vals & 0xFFFFFFFF).astype(np.uint32))
 HI = jnp.asarray((vals >> 32).astype(np.uint32))
-perm, tw = ntt._device_tables(12, False)
+_, _, pairs = ntt._device_tables_r4(12, False)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -131,7 +131,8 @@ def stage_chain(lo, hi, k):
     lo = lo.reshape(4096, 4096)
     hi = hi.reshape(4096, 4096)
     for _ in range(k):
-        lo, hi = ntt._radix4_stage_ax2((lo, hi), tw[4], tw[5], 16, 4096)
+        lo, hi = ntt._radix4_true_ax2((lo, hi), pairs[2], 16, 4096, False,
+                                      trivial=False)
     return (jnp.sum(lo.astype(jnp.uint32)) ^ jnp.sum(hi.astype(jnp.uint32)))
 
 

@@ -17,8 +17,7 @@ def test_four_step_matches_direct():
     got = gf.from_limbs(
         ntt._jitted_four_step(log_n, False)(lo, hi, diag[0], diag[1])
     )
-    perm, tw = ntt._device_twiddles(log_n, False)
-    want = gf.from_limbs(ntt._jitted_ntt(log_n, False)(lo, hi, perm, tw))
+    want = gf.from_limbs(ntt._jitted_ntt(log_n, False)(lo, hi))
     np.testing.assert_array_equal(got, want)
 
 
@@ -42,8 +41,7 @@ def test_large_path_dispatch_and_batch():
     x = RNG.integers(0, P, size=(2, n), dtype=np.uint64)
     got = ntt.ntt_values(x)
     lo, hi = gf.to_limbs(x)
-    perm, tw = ntt._device_twiddles(log_n, False)
-    want = gf.from_limbs(ntt._jitted_ntt(log_n, False)(lo, hi, perm, tw))
+    want = gf.from_limbs(ntt._jitted_ntt(log_n, False)(lo, hi))
     np.testing.assert_array_equal(got, want)
     back = ntt.intt_values(got)
     np.testing.assert_array_equal(back, x)

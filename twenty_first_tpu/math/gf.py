@@ -230,6 +230,88 @@ def mul(a, b):
     return reduce128(*mul64_wide(a, b))
 
 
+# ---------------------------------------------------------------------------
+# Lazy (non-canonical) ops: values are arbitrary u64 residues (any x < 2^64
+# with x ≡ value mod p). Used inside the NTT butterfly stages, where keeping
+# every intermediate canonical costs an extra compare+select pass per op;
+# one final `_canon` (valid for ALL u64, since 2^64 < 2p) restores canonical
+# form at the end of the transform.
+# ---------------------------------------------------------------------------
+
+
+def reduce128_lazy(x0, x1, x2, x3):
+    """Like reduce128 but returns a (possibly non-canonical) u64 residue."""
+    t, br = sub64((x0, x1), (x3, jnp.zeros_like(x3)))
+    fix, _ = sub64(t, (EPSILON, _c(0)))
+    t = (
+        jnp.where(br.astype(bool), fix[0], t[0]),
+        jnp.where(br.astype(bool), fix[1], t[1]),
+    )
+    m_lo = jnp.zeros_like(x2) - x2
+    m_hi = x2 - (x2 != 0).astype(_U32)
+    t2, c = add64(t, (m_lo, m_hi))
+    fix, _ = add64(t2, (EPSILON, _c(0)))
+    return (
+        jnp.where(c.astype(bool), fix[0], t2[0]),
+        jnp.where(c.astype(bool), fix[1], t2[1]),
+    )
+
+
+def mul_lazy(a, b):
+    """Modular multiply: arbitrary u64 residues in, u64 residue out."""
+    return reduce128_lazy(*mul64_wide(a, b))
+
+
+def add_lazy(a, b):
+    """Modular add on arbitrary u64 residues (u64 residue out).
+
+    On 64-bit wrap the sum gains 2^64 ≡ EPSILON; with non-canonical inputs
+    the EPSILON fix can wrap once more (s > 2^64 - 2^32), never a third time.
+    """
+    s, c = add64(a, b)
+    w = c.astype(bool)
+    f, c2 = add64(s, (EPSILON, _c(0)))
+    s = (jnp.where(w, f[0], s[0]), jnp.where(w, f[1], s[1]))
+    w2 = w & c2.astype(bool)
+    f2, _ = add64(s, (EPSILON, _c(0)))
+    return (jnp.where(w2, f2[0], s[0]), jnp.where(w2, f2[1], s[1]))
+
+
+def sub_lazy(a, b):
+    """Modular subtract on arbitrary u64 residues (u64 residue out)."""
+    d, br = sub64(a, b)
+    w = br.astype(bool)
+    f, br2 = sub64(d, (EPSILON, _c(0)))
+    d = (jnp.where(w, f[0], d[0]), jnp.where(w, f[1], d[1]))
+    # if the fix itself wrapped (only possible when b - a > p), the wrap
+    # added 2^64 ≡ EPSILON; take it back out. Cannot wrap a third time.
+    w2 = w & br2.astype(bool)
+    f2, _ = sub64(d, (EPSILON, _c(0)))
+    return (jnp.where(w2, f2[0], d[0]), jnp.where(w2, f2[1], d[1]))
+
+
+def mul_by_i_lazy(a, inverse: bool = False):
+    """Multiply a u64 residue by i = omega_4 = 2^48 (PRIMITIVE_ROOTS[4]).
+
+    v * 2^48 is a 112-bit value whose u32 words are pure shifts of the limbs,
+    so this costs a handful of shifts + the 128-bit fold instead of a full
+    64x64 multiply. For inverse transforms i^-1 = 2^-48 = 2^144/2^96... since
+    2^96 ≡ -1 (mod p), i^-1 = -2^48: same shift, then negate.
+    """
+    lo, hi = a
+    z = jnp.zeros_like(lo)
+    r = reduce128_lazy(z, lo << 16, (hi << 16) | (lo >> 16), hi >> 16)
+    if inverse:
+        r = sub_lazy((z, z), r)
+    return r
+
+
+def canon(x):
+    """Canonicalize an arbitrary u64 residue (one conditional subtract of p,
+    valid for all x < 2^64 because 2^64 < 2p)."""
+    return _canon(x)
+
+
 def square(a):
     return mul(a, a)
 

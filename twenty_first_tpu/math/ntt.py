@@ -79,6 +79,55 @@ def _twiddles_host(log_n: int, inverse: bool) -> tuple[np.ndarray, ...]:
 
 
 @functools.lru_cache(maxsize=None)
+def _twiddles_radix4_host(log_n: int, inverse: bool):
+    """Per-stage-PAIR twiddle tables (t, t^2, t^3) for true radix-4 DIT.
+
+    For the fused pair of radix-2 stages (m, 2m), with t_j = omega_{4m}^j,
+    the composed butterfly equals the radix-4 DFT butterfly
+        u0=a, u1=t*c, u2=t^2*b, u3=t^3*d
+        e0=u0+u2, e1=u0-u2, o0=u1+u3, o1=i*(u1-u3)
+        y = (e0+o0, e1+o1, e0-o0, e1-o1)
+    which needs 3 general multiplies + one multiply by i = omega_4 = 2^48
+    (a shift) per 4 elements, instead of 4 general multiplies.
+    Returns (first_radix2_stage_or_None, [(t, t2, t3), ...]) as uint64.
+    """
+    n = 1 << log_n
+    root = PRIMITIVE_ROOTS[n]
+    if inverse:
+        root = pow(root, P - 2, P)
+    first = None
+    s = 0
+    if log_n % 2 == 1:
+        first = gfn.powers(pow(root, n // 2, P), 1)
+        s = 1
+    pairs = []
+    while s < log_n:
+        m = 1 << s
+        w4m = pow(root, n // (4 * m), P)
+        t = gfn.powers(w4m, m)
+        t2 = gfn.mul(t, t)
+        t3 = gfn.mul(t2, t)
+        pairs.append((t, t2, t3))
+        s += 2
+    return first, tuple(pairs)
+
+
+def _split_u32(tw: np.ndarray):
+    return ((tw & np.uint64(0xFFFF_FFFF)).astype(np.uint32),
+            (tw >> np.uint64(32)).astype(np.uint32))
+
+
+@functools.lru_cache(maxsize=None)
+def _device_tables_r4(log_n: int, inverse: bool):
+    """Radix-4 host tables: (perm, first_radix2_limbpair_or_None,
+    tuple of (t, t2, t3) limb pairs). numpy, safe to close over in traces."""
+    first, pairs = _twiddles_radix4_host(log_n, inverse)
+    first_dev = _split_u32(first) if first is not None else None
+    pairs_dev = tuple(tuple(_split_u32(t) for t in pair) for pair in pairs)
+    return _bit_reverse_permutation(log_n), first_dev, pairs_dev
+
+
+@functools.lru_cache(maxsize=None)
 def _device_tables(log_n: int, inverse: bool):
     """Host-side (numpy) tables. Kept as numpy — not device arrays — so that
     traced code (jit / shard_map) can safely close over them as constants;
@@ -93,57 +142,51 @@ def _device_tables(log_n: int, inverse: bool):
     return perm, tuple(dev)
 
 
-def _ntt_core(x, perm, twiddles, log_n: int):
+def _ntt_core(x, log_n: int, inverse: bool):
     """x: (lo, hi) with last axis n. Returns transformed limb planes.
 
-    Stages are fused pairwise into radix-4 passes (one memory pass instead
-    of two; the butterflies are the algebraic composition of the two
-    radix-2 stages, so values are identical). An odd stage count starts
-    with one radix-2 stage.
+    Same true-radix-4 lazy butterflies as the axis(-2) core (see below),
+    over the last axis. An odd stage count starts with one (mul-free)
+    radix-2 stage.
     """
+    perm, first, pairs = _device_tables_r4(log_n, inverse)
     lo, hi = x
-    batch_shape = lo.shape[:-1]
     n = lo.shape[-1]
     lo = jnp.take(lo, perm, axis=-1)
     hi = jnp.take(hi, perm, axis=-1)
+    st = (lo, hi)
     s = 0
-    if log_n % 2 == 1:
-        lo, hi = _radix2_stage((lo, hi), twiddles[0], 1, n, batch_shape)
+    if first is not None:
+        st = _radix2_first(st, n)
         s = 1
-    while s < log_n:
+    for t, t2, t3 in pairs:
         m = 1 << s
-        lo, hi = _radix4_stage(
-            (lo, hi), twiddles[s], twiddles[s + 1], m, n, batch_shape
-        )
+        st = _radix4_true(st, (t, t2, t3), m, n, inverse, trivial=(m == 1))
         s += 2
-    return lo, hi
+    return gf.canon(st)
 
 
-def _radix2_stage(x, tw, m, n, batch_shape):
+def _radix2_first(x, n):
+    """First radix-2 stage (m=1): its only twiddle is 1, so it is mul-free."""
     lo, hi = x
-    shape = batch_shape + (n // (2 * m), 2, m)
+    batch_shape = lo.shape[:-1]
+    shape = batch_shape + (n // 2, 2)
     lo = lo.reshape(shape)
     hi = hi.reshape(shape)
-    u = (lo[..., 0, :], hi[..., 0, :])
-    v = gf.mul((lo[..., 1, :], hi[..., 1, :]), (tw[0], tw[1]))
-    top = gf.add(u, v)
-    bot = gf.sub(u, v)
+    u = (lo[..., 0], hi[..., 0])
+    v = (lo[..., 1], hi[..., 1])
+    top = gf.add_lazy(u, v)
+    bot = gf.sub_lazy(u, v)
     return (
-        jnp.stack([top[0], bot[0]], axis=-2).reshape(batch_shape + (n,)),
-        jnp.stack([top[1], bot[1]], axis=-2).reshape(batch_shape + (n,)),
+        jnp.stack([top[0], bot[0]], axis=-1).reshape(batch_shape + (n,)),
+        jnp.stack([top[1], bot[1]], axis=-1).reshape(batch_shape + (n,)),
     )
 
 
-def _radix4_stage(x, tw1, tw2, m, n, batch_shape):
-    """Fused pair of radix-2 stages (half sizes m and 2m).
-
-    Block of 4m elements (a, b, c, d) at offsets (0, m, 2m, 3m):
-      stage m :  a' = a + t1 b ; b' = a - t1 b ; c' = c + t1 d ; d' = c - t1 d
-      stage 2m:  y0 = a' + t2a c' ; y2 = a' - t2a c'
-                 y1 = b' + t2b d' ; y3 = b' - t2b d'
-    with t1 = tw1[j], t2a = tw2[j], t2b = tw2[m + j] for j in [0, m).
-    """
+def _radix4_true(x, tq, m, n, inverse: bool, trivial: bool):
+    """True radix-4 DIT butterfly over the last axis (see _radix4_true_ax2)."""
     lo, hi = x
+    batch_shape = lo.shape[:-1]
     shape = batch_shape + (n // (4 * m), 4, m)
     lo = lo.reshape(shape)
     hi = hi.reshape(shape)
@@ -151,21 +194,21 @@ def _radix4_stage(x, tw1, tw2, m, n, batch_shape):
     b = (lo[..., 1, :], hi[..., 1, :])
     c = (lo[..., 2, :], hi[..., 2, :])
     d = (lo[..., 3, :], hi[..., 3, :])
-    t1 = (tw1[0], tw1[1])
-    t2a = (tw2[0][:m], tw2[1][:m])
-    t2b = (tw2[0][m:], tw2[1][m:])
-    tb = gf.mul(b, t1)
-    td = gf.mul(d, t1)
-    ap = gf.add(a, tb)
-    bp = gf.sub(a, tb)
-    cp = gf.add(c, td)
-    dp = gf.sub(c, td)
-    tc_ = gf.mul(cp, t2a)
-    td_ = gf.mul(dp, t2b)
-    y0 = gf.add(ap, tc_)
-    y2 = gf.sub(ap, tc_)
-    y1 = gf.add(bp, td_)
-    y3 = gf.sub(bp, td_)
+    if trivial:
+        u1, u2, u3 = c, b, d
+    else:
+        t, t2, t3 = tq
+        u1 = gf.mul_lazy(c, t)
+        u2 = gf.mul_lazy(b, t2)
+        u3 = gf.mul_lazy(d, t3)
+    e0 = gf.add_lazy(a, u2)
+    e1 = gf.sub_lazy(a, u2)
+    o0 = gf.add_lazy(u1, u3)
+    o1 = gf.mul_by_i_lazy(gf.sub_lazy(u1, u3), inverse)
+    y0 = gf.add_lazy(e0, o0)
+    y2 = gf.sub_lazy(e0, o0)
+    y1 = gf.add_lazy(e1, o1)
+    y3 = gf.sub_lazy(e1, o1)
     return (
         jnp.stack([y0[0], y1[0], y2[0], y3[0]], axis=-2)
         .reshape(batch_shape + (n,)),
@@ -181,54 +224,70 @@ def _radix4_stage(x, tw1, tw2, m, n, batch_shape):
 # every butterfly stage is a full-width (n1-lane) VPU op — the last-axis core
 # degrades at early stages where the within-block stride m is smaller than a
 # lane group. Measured at 2^24: 24.7 ms (last-axis locals) -> see DESIGN.md.
+#
+# Butterflies are TRUE radix-4 DIT (not fused radix-2 pairs): 3 general
+# multiplies + one multiply-by-i (i = omega_4 = 2^48, a shift) per 4
+# elements instead of 4 general multiplies. Intermediates use the lazy
+# (non-canonical u64 residue) gf ops; one conditional subtract at the end
+# restores canonical form.
 
 
-def _ntt_core_ax2(x, perm, twiddles, log_n: int):
-    """NTT over axis -2 of (..., n, w) limb planes. Same math as _ntt_core."""
+def _ntt_core_ax2(x, log_n: int, inverse: bool):
+    """NTT over axis -2 of (..., n, w) limb planes. Values match _ntt_core."""
+    perm, first, pairs = _device_tables_r4(log_n, inverse)
     lo, hi = x
     lo = jnp.take(lo, perm, axis=-2)
     hi = jnp.take(hi, perm, axis=-2)
     n = lo.shape[-2]
+    st = (lo, hi)
     s = 0
-    if log_n % 2 == 1:
-        lo, hi = _radix2_stage_ax2((lo, hi), twiddles[0], 1, n)
+    if first is not None:
+        st = _radix2_first_ax2(st, n)
         s = 1
-    while s < log_n:
+    for t, t2, t3 in pairs:
         m = 1 << s
-        lo, hi = _radix4_stage_ax2(
-            (lo, hi), twiddles[s], twiddles[s + 1], m, n
-        )
+        st = _radix4_true_ax2(st, (t, t2, t3), m, n, inverse,
+                              trivial=(m == 1))
         s += 2
-    return lo, hi
+    return gf.canon(st)
 
 
-def _tw_ax2(tw, sl=None):
+def _tw_ax2(tw):
     """Reshape a stage-twiddle plane pair for axis(-2) broadcast: (m,) -> (m, 1)."""
     lo, hi = tw
-    if sl is not None:
-        lo, hi = lo[sl], hi[sl]
     return lo[:, None], hi[:, None]
 
 
-def _radix2_stage_ax2(x, tw, m, n):
+def _radix2_first_ax2(x, n):
+    """First radix-2 stage (m=1): its only twiddle is 1, so it is mul-free."""
     lo, hi = x
     batch = lo.shape[:-2]
     w = lo.shape[-1]
-    shape = batch + (n // (2 * m), 2, m, w)
+    shape = batch + (n // 2, 2, w)
     lo = lo.reshape(shape)
     hi = hi.reshape(shape)
-    u = (lo[..., 0, :, :], hi[..., 0, :, :])
-    v = gf.mul((lo[..., 1, :, :], hi[..., 1, :, :]), _tw_ax2(tw))
-    top = gf.add(u, v)
-    bot = gf.sub(u, v)
+    u = (lo[..., 0, :], hi[..., 0, :])
+    v = (lo[..., 1, :], hi[..., 1, :])
+    top = gf.add_lazy(u, v)
+    bot = gf.sub_lazy(u, v)
     out_shape = batch + (n, w)
     return (
-        jnp.stack([top[0], bot[0]], axis=-3).reshape(out_shape),
-        jnp.stack([top[1], bot[1]], axis=-3).reshape(out_shape),
+        jnp.stack([top[0], bot[0]], axis=-2).reshape(out_shape),
+        jnp.stack([top[1], bot[1]], axis=-2).reshape(out_shape),
     )
 
 
-def _radix4_stage_ax2(x, tw1, tw2, m, n):
+def _radix4_true_ax2(x, tq, m, n, inverse: bool, trivial: bool):
+    """True radix-4 DIT butterfly over blocks of 4m (see module comment).
+
+    With t_j = omega_{4m}^j the composition of the two radix-2 stages
+    (m, 2m) equals
+        u0 = a, u1 = t*c, u2 = t^2*b, u3 = t^3*d
+        e0 = u0+u2, e1 = u0-u2, o0 = u1+u3, o1 = i*(u1-u3)
+        (y0, y1, y2, y3) = (e0+o0, e1+o1, e0-o0, e1-o1)
+    where (a, b, c, d) sit at offsets (0, m, 2m, 3m). When m == 1 all three
+    twiddles are 1 (`trivial`), leaving only the i-multiply.
+    """
     lo, hi = x
     batch = lo.shape[:-2]
     w = lo.shape[-1]
@@ -239,21 +298,21 @@ def _radix4_stage_ax2(x, tw1, tw2, m, n):
     b = (lo[..., 1, :, :], hi[..., 1, :, :])
     c = (lo[..., 2, :, :], hi[..., 2, :, :])
     d = (lo[..., 3, :, :], hi[..., 3, :, :])
-    t1 = _tw_ax2(tw1)
-    t2a = _tw_ax2(tw2, slice(None, m))
-    t2b = _tw_ax2(tw2, slice(m, None))
-    tb = gf.mul(b, t1)
-    td = gf.mul(d, t1)
-    ap = gf.add(a, tb)
-    bp = gf.sub(a, tb)
-    cp = gf.add(c, td)
-    dp = gf.sub(c, td)
-    tc_ = gf.mul(cp, t2a)
-    td_ = gf.mul(dp, t2b)
-    y0 = gf.add(ap, tc_)
-    y2 = gf.sub(ap, tc_)
-    y1 = gf.add(bp, td_)
-    y3 = gf.sub(bp, td_)
+    if trivial:
+        u1, u2, u3 = c, b, d
+    else:
+        t, t2, t3 = (_tw_ax2(v) for v in tq)
+        u1 = gf.mul_lazy(c, t)
+        u2 = gf.mul_lazy(b, t2)
+        u3 = gf.mul_lazy(d, t3)
+    e0 = gf.add_lazy(a, u2)
+    e1 = gf.sub_lazy(a, u2)
+    o0 = gf.add_lazy(u1, u3)
+    o1 = gf.mul_by_i_lazy(gf.sub_lazy(u1, u3), inverse)
+    y0 = gf.add_lazy(e0, o0)
+    y2 = gf.sub_lazy(e0, o0)
+    y1 = gf.add_lazy(e1, o1)
+    y3 = gf.sub_lazy(e1, o1)
     out_shape = batch + (n, w)
     return (
         jnp.stack([y0[0], y1[0], y2[0], y3[0]], axis=-3).reshape(out_shape),
@@ -262,27 +321,12 @@ def _radix4_stage_ax2(x, tw1, tw2, m, n):
 
 
 @functools.lru_cache(maxsize=None)
-def _device_twiddles(log_n: int, inverse: bool):
-    """Twiddle/permutation tables as device arrays, uploaded once per size.
-
-    Must only be called OUTSIDE jit traces (the arrays are cached); traced
-    code receives them as runtime arguments so that large tables are not
-    embedded in the compiled program (a 2^24 NTT has 128 MB of twiddles —
-    baking them into the HLO breaks compile-payload limits and bloats the
-    executable)."""
-    perm_np, stages_np = _device_tables(log_n, inverse)
-    perm = jnp.asarray(perm_np)
-    stages = tuple((jnp.asarray(lo), jnp.asarray(hi)) for lo, hi in stages_np)
-    return perm, stages
-
-
-@functools.lru_cache(maxsize=None)
 def _jitted_ntt(log_n: int, inverse: bool):
     n_inv = pow(1 << log_n, P - 2, P)
 
     @jax.jit
-    def run(lo, hi, perm, twiddles):
-        out_lo, out_hi = _ntt_core((lo, hi), perm, twiddles, log_n)
+    def run(lo, hi):
+        out_lo, out_hi = _ntt_core((lo, hi), log_n, inverse)
         if inverse:
             out_lo, out_hi = gf.mul_const((out_lo, out_hi), n_inv)
         return out_lo, out_hi
@@ -297,8 +341,7 @@ def ntt_limbs_traceable(x, inverse: bool = False):
     log_n = _check_len(lo.shape[-1])
     if lo.shape[-1] <= 1:
         return x
-    perm, twiddles = _device_tables(log_n, inverse)
-    out = _ntt_core((lo, hi), perm, twiddles, log_n)
+    out = _ntt_core((lo, hi), log_n, inverse)
     if inverse:
         out = gf.mul_const(out, pow(1 << log_n, P - 2, P))
     return out
@@ -350,14 +393,19 @@ _SLAB = 128
 _SLAB_MIN_ELEMS = 1 << 22
 
 
-def _local_pass(x, log_len: int, inverse: bool, diag=None, post_const=None):
+def _local_pass(x, log_len: int, inverse: bool, diag=None, post_const=None,
+                transpose_in: bool = False):
     """NTT over axis -2 of (..., n, w) limb planes, slab-mapped over the lane
     axis when the matrix is large. Optionally fuses a pointwise multiply by
     ``diag`` ((n, w) limb planes) and/or by a python-int ``post_const`` into
-    the same pass, saving full HBM round trips."""
-    perm, tw = _device_tables(log_len, inverse)
+    the same pass, saving full HBM round trips.
+
+    With ``transpose_in=True`` the input is (..., w, n) — the *rows* are
+    slabbed and each slab is transposed inside the map body (in VMEM), so
+    the matrix transpose between the two four-step passes costs no separate
+    HBM round trip."""
     lo, hi = x
-    w = lo.shape[-1]
+    w = lo.shape[-1] if not transpose_in else lo.shape[-2]
 
     def finish(out):
         if diag is not None:
@@ -367,10 +415,16 @@ def _local_pass(x, log_len: int, inverse: bool, diag=None, post_const=None):
         return out
 
     if w % _SLAB or lo.size < _SLAB_MIN_ELEMS:
-        return finish(_ntt_core_ax2((lo, hi), perm, tw, log_len))
+        if transpose_in:
+            lo, hi = jnp.swapaxes(lo, -1, -2), jnp.swapaxes(hi, -1, -2)
+        return finish(_ntt_core_ax2((lo, hi), log_len, inverse))
     nslab = w // _SLAB
 
     def to_slabs(a):
+        if transpose_in:
+            # (..., w, n): split rows w into slabs; body transposes in VMEM
+            a = a.reshape(a.shape[:-2] + (nslab, _SLAB) + a.shape[-1:])
+            return jnp.moveaxis(a, -3, 0)  # (nslab, ..., _SLAB, n)
         a = a.reshape(a.shape[:-1] + (nslab, _SLAB))
         return jnp.moveaxis(a, -2, 0)  # (nslab, ..., n, _SLAB)
 
@@ -384,7 +438,10 @@ def _local_pass(x, log_len: int, inverse: bool, diag=None, post_const=None):
 
     def body(args):
         slo, shi = args[0], args[1]
-        out = _ntt_core_ax2((slo, shi), perm, tw, log_len)
+        if transpose_in:
+            slo = jnp.swapaxes(slo, -1, -2)
+            shi = jnp.swapaxes(shi, -1, -2)
+        out = _ntt_core_ax2((slo, shi), log_len, inverse)
         if diag is not None:
             out = gf.mul(out, (args[2], args[3]))
         if post_const is not None:
@@ -416,11 +473,11 @@ def four_step_ntt_traceable(x, log_n: int, inverse: bool, diag):
     # column NTTs (over j2 = axis -2, lanes = n1) -> Y[k2, j1], fused with
     # the diagonal twiddle w^(j1*k2), laid out (n2, n1) to match Y
     y = _local_pass((lo, hi), log_n2, inverse, diag=diag)
-    # transpose once to (j1, k2), then row NTTs (over j1 = axis -2,
-    # lanes = n2): -> Z[k1, k2], which flattens to natural order k2 + n2*k1.
-    y = (jnp.swapaxes(y[0], -1, -2), jnp.swapaxes(y[1], -1, -2))
+    # row NTTs over j1 -> Z[k1, k2], which flattens to natural order
+    # k2 + n2*k1. transpose_in slabs the rows of Y and transposes each slab
+    # in VMEM, so the four-step's matrix transpose rides the same HBM pass.
     n_inv = pow(1 << log_n, P - 2, P) if inverse else None
-    z = _local_pass(y, log_n1, inverse, post_const=n_inv)
+    z = _local_pass(y, log_n1, inverse, post_const=n_inv, transpose_in=True)
     zlo = z[0].reshape(batch + (n1 * n2,))
     zhi = z[1].reshape(batch + (n1 * n2,))
     return zlo, zhi
@@ -445,8 +502,7 @@ def ntt_limbs(x, inverse: bool = False):
     if log_n >= FOUR_STEP_THRESHOLD_LOG2:
         diag = _four_step_diag_device(log_n, inverse)
         return _jitted_four_step(log_n, inverse)(lo, hi, diag[0], diag[1])
-    perm, twiddles = _device_twiddles(log_n, inverse)
-    return _jitted_ntt(log_n, inverse)(lo, hi, perm, twiddles)
+    return _jitted_ntt(log_n, inverse)(lo, hi)
 
 
 def intt_limbs(x):

@@ -69,8 +69,7 @@ def _twiddle_matrix(log_n: int, inverse: bool) -> np.ndarray:
 
 def _local_ntt(x, log_m: int, inverse: bool):
     """Local last-axis NTT using the single-chip tables (no collectives)."""
-    perm, twiddles = ntt_mod._device_tables(log_m, inverse)
-    return ntt_mod._ntt_core(x, perm, twiddles, log_m)
+    return ntt_mod._ntt_core(x, log_m, inverse)
 
 
 @functools.lru_cache(maxsize=None)
@@ -86,11 +85,10 @@ def _make_distributed_ntt(mesh, log_n: int, inverse: bool,
 
     def local(lo, hi, tw_lo, tw_hi):
         # lo, hi: (n2, n1/d) — this chip's column block (j1 sharded).
-        # Step 2: local NTTs over j2. _local_ntt transforms the LAST axis,
-        # so transpose in and out.
-        xt = _local_ntt((lo.T, hi.T), log_n2, inverse)
-        y = (xt[0].T, xt[1].T)  # (n2, n1/d), rows now k2
-        y = gf.mul(y, (tw_lo, tw_hi))
+        # Step 2: local NTTs over j2 = axis -2 (slab-mapped when large),
+        # with this chip's diagonal-twiddle block fused into the same pass.
+        y = ntt_mod._local_pass((lo, hi), log_n2, inverse,
+                                diag=(tw_lo, tw_hi))
         # all-to-all transpose: shard rows k2, gather all columns j1
         ylo = jax.lax.all_to_all(y[0], AXIS, split_axis=0, concat_axis=1,
                                  tiled=True)
