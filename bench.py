@@ -94,6 +94,60 @@ def main():
     ntt_elems_per_s = n / t_ntt
     extras[f"ntt_2^{log_n}_s"] = t_ntt
 
+    # --- xfe NTT 2^18 (reference benches/ntt.rs xfe rows) -------------------
+    if remaining() > 90:
+        xlog = 18
+        xdata = rng.integers(0, p, size=(3, 1 << xlog), dtype=np.uint64)
+        xlo, xhi = (jax.device_put(v) for v in gf.to_limbs(xdata))
+        xdiag = ntt._four_step_diag_device(xlog, False)
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def xntt_chain(a, b, dlo, dhi, k):
+            def body(i, st):
+                return ntt.four_step_ntt_traceable(st, xlog, False, (dlo, dhi))
+            o = jax.lax.fori_loop(0, k, body, (a, b))
+            return (jnp.sum(o[0], dtype=jnp.uint32)
+                    + jnp.sum(o[1], dtype=jnp.uint32))
+
+        t_xntt = timed_chain(xntt_chain, (xlo, xhi, xdiag[0], xdiag[1]), 1, 5)
+        extras[f"xfe_ntt_2^{xlog}_s"] = t_xntt
+
+    # --- device batch inversion 2^20 (reference benches/inverses.rs) -------
+    if remaining() > 90:
+        inv_vals = rng.integers(1, p, size=1 << 20, dtype=np.uint64)
+        ilo, ihi = (jax.device_put(v) for v in gf.to_limbs(inv_vals))
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def inv_chain(a, b, k):
+            def body(i, st):
+                return gf.batch_inversion(st)
+            o = jax.lax.fori_loop(0, k, body, (a, b))
+            return (jnp.sum(o[0], dtype=jnp.uint32)
+                    + jnp.sum(o[1], dtype=jnp.uint32))
+
+        t_inv = timed_chain(inv_chain, (ilo, ihi), 1, 3)
+        extras["batch_inversion_2^20_s"] = t_inv
+
+    # --- device xfe multiply 2^20 (reference benches/various_muls.rs) ------
+    if remaining() > 90:
+        from twenty_first_tpu.math import gf_ext
+
+        xa = rng.integers(0, p, size=(3, 1 << 20), dtype=np.uint64)
+        xb = rng.integers(0, p, size=(3, 1 << 20), dtype=np.uint64)
+        alo, ahi = (jax.device_put(v) for v in gf.to_limbs(xa))
+        blo, bhi = (jax.device_put(v) for v in gf.to_limbs(xb))
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def xmul_chain(al, ah, bl, bh, k):
+            def body(i, st):
+                return gf_ext.mul(st, (bl, bh))
+            o = jax.lax.fori_loop(0, k, body, (al, ah))
+            return (jnp.sum(o[0], dtype=jnp.uint32)
+                    + jnp.sum(o[1], dtype=jnp.uint32))
+
+        t_xmul = timed_chain(xmul_chain, (alo, ahi, blo, bhi), 1, 9)
+        extras["xfe_mul_2^20_per_s"] = (1 << 20) / t_xmul
+
     # --- Tip5 permutation / hash_10 / hash_pair throughput ------------------
     if remaining() > 120:
         batch = 1 << 16  # the reference's parallel bench batch (tip5.rs)
@@ -218,6 +272,20 @@ def main():
         extras["poly_coset_extrapolate_2^18_to_2^9_s"] = timed_host(
             lambda: Polynomial.coset_extrapolate(bfe(7), codeword, points),
             reps=1)
+
+    # --- poly scale / scalar-mul / formal-power-series inverse (host) ------
+    if remaining() > 45:
+        from twenty_first_tpu.math.polynomial import Polynomial
+        from twenty_first_tpu.math.b_field_element import bfe
+
+        ps = Polynomial.from_array(
+            rng.integers(0, p, size=1 << 14, dtype=np.uint64))
+        alpha = bfe(1234567891011)
+        extras["poly_scale_2^14_s"] = timed_host(lambda: ps.scale(alpha))
+        extras["poly_scalar_mul_2^14_s"] = timed_host(
+            lambda: ps.scalar_mul(alpha))
+        extras["poly_fps_inverse_2^10_s"] = timed_host(
+            lambda: ps.formal_power_series_inverse_newton(1 << 10), reps=2)
 
     # --- lattice KEM roundtrip ---------------------------------------------
     if remaining() > 30:

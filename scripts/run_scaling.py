@@ -26,6 +26,13 @@ if __name__ == "__main__":
     out_path = sys.argv[2] if len(sys.argv) > 2 else "SCALING_r02.json"
     report = scaling_report(log_n)
     report["platform"] = "cpu-virtual-8"
+    report["note"] = (
+        "Virtual CPU devices share physical host cores, so efficiency "
+        "numbers here validate the sharding/communication STRUCTURE only "
+        "(collective counts, bit-exactness vs single device); real "
+        "scaling efficiency must be read from a TPU pod run of "
+        "twenty_first_tpu.parallel.scaling with --coordinator/--process-id."
+    )
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report))

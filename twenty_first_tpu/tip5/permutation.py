@@ -82,9 +82,11 @@ def _split_and_lookup(words):
 
 
 def _pow7(x):
-    sq = gf.square(x)
-    qu = gf.square(sq)
-    return gf.mul(gf.mul(qu, sq), x)
+    # lazy residues throughout (mul64_wide accepts any u64; one canon at
+    # the end of the permutation restores canonical form)
+    sq = gf.mul_lazy(x, x)
+    qu = gf.mul_lazy(sq, sq)
+    return gf.mul_lazy(gf.mul_lazy(qu, sq), x)
 
 
 def _sbox(state):
@@ -104,6 +106,9 @@ def _mds(state):
     Each state word splits into four 16-bit digits; each digit plane is
     convolved with the 16-bit MDS column. Products fit u32 exactly; sums of
     their 16-bit halves over 16 taps fit u32 with huge margin (< 2^20).
+    Accepts arbitrary (lazy) u64 residues: a non-canonical representative
+    changes the integer matvec by a multiple of p, which the final
+    Goldilocks reduction absorbs.
     """
     lo, hi = state
     digits = (
@@ -136,21 +141,27 @@ def _mds(state):
     c1 = (x1 < t).astype(_U32)
     x2 = g4 + (g3 >> 16) + c1
     x3 = jnp.zeros_like(x2)
-    return gf.reduce128(x0, x1, x2, x3)
+    return gf.reduce128_lazy(x0, x1, x2, x3)
 
 
 def _round(state, round_index: int):
+    """One round on (possibly lazy) u64 residue planes; lazy residue out.
+
+    Lazy round states are safe: the S-box's to_montgomery is a fully
+    reducing multiply (same Montgomery bytes for any representative), x^7
+    and the MDS integer convolution accept arbitrary u64 residues.
+    """
     state = _sbox(state)
     state = _mds(state)
     rc = (jnp.asarray(_RC_LO[round_index]), jnp.asarray(_RC_HI[round_index]))
-    return gf.add(state, rc)
+    return gf.add_lazy(state, rc)
 
 
 def permutation(state):
     """Apply the full 5-round Tip5 permutation to limb planes (..., 16)."""
     for i in range(NUM_ROUNDS):
         state = _round(state, i)
-    return state
+    return gf.canon(state)
 
 
 def trace(state):
@@ -162,7 +173,8 @@ def trace(state):
     """
     states = [state]
     for i in range(NUM_ROUNDS):
-        states.append(_round(states[-1], i))
+        # each exposed round state must be canonical (AIR arithmetization)
+        states.append(gf.canon(_round(states[-1], i)))
     lo = jnp.stack([s[0] for s in states], axis=-2)
     hi = jnp.stack([s[1] for s in states], axis=-2)
     return lo, hi
