@@ -290,20 +290,42 @@ def sub_lazy(a, b):
     return (jnp.where(w2, f2[0], d[0]), jnp.where(w2, f2[1], d[1]))
 
 
-def mul_by_i_lazy(a, inverse: bool = False):
-    """Multiply a u64 residue by i = omega_4 = 2^48 (PRIMITIVE_ROOTS[4]).
+def mul_by_pow2_lazy(a, e: int, negate: bool = False):
+    """Multiply a u64 residue by ±2^e for 0 < e < 96 (lazy residue out).
 
-    v * 2^48 is a 112-bit value whose u32 words are pure shifts of the limbs,
-    so this costs a handful of shifts + the 128-bit fold instead of a full
-    64x64 multiply. For inverse transforms i^-1 = 2^-48 = 2^144/2^96... since
-    2^96 ≡ -1 (mod p), i^-1 = -2^48: same shift, then negate.
+    v * 2^e is at most a 160-bit value whose u32 words are pure shifts of
+    the limbs; the 2^128 word folds via 2^128 ≡ -2^32 (mod p). This costs a
+    handful of shifts + the 128-bit fold instead of a full 64x64 multiply —
+    the power-of-two roots ω₄ = 2^48, ω₈ = -2^24, ω₈³ = -2^72 (inverses
+    2^72 / 2^24) make the radix-4/8 internal butterfly factors cheap.
     """
+    assert 0 < e < 96
     lo, hi = a
     z = jnp.zeros_like(lo)
-    r = reduce128_lazy(z, lo << 16, (hi << 16) | (lo >> 16), hi >> 16)
-    if inverse:
-        r = sub_lazy((z, z), r)
-    return r
+    q, r = divmod(e, 32)
+    if r == 0:
+        w0, w1, w2 = lo, hi, None
+    else:
+        w0 = lo << r
+        w1 = (hi << r) | (lo >> (32 - r))
+        w2 = hi >> (32 - r)
+    words = [z] * q + [w0, w1] + ([w2] if w2 is not None else []) + [z] * 3
+    out = reduce128_lazy(words[0], words[1], words[2], words[3])
+    if q == 2 and w2 is not None:
+        # the 2^128 word: x4 * 2^128 ≡ -x4 * 2^32
+        out = sub_lazy(out, (z, w2))
+    if negate:
+        out = sub_lazy((z, z), out)
+    return out
+
+
+def mul_by_i_lazy(a, inverse: bool = False):
+    """Multiply a u64 residue by i = omega_4 = 2^48 (PRIMITIVE_ROOTS chain).
+
+    For inverse transforms i^-1 = 2^-48; since 2^96 ≡ -1 (mod p),
+    i^-1 = -2^48: same shift, then negate.
+    """
+    return mul_by_pow2_lazy(a, 48, negate=inverse)
 
 
 def canon(x):

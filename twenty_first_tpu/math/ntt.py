@@ -128,6 +128,51 @@ def _device_tables_r4(log_n: int, inverse: bool):
 
 
 @functools.lru_cache(maxsize=None)
+def _device_tables_mixed(log_n: int, inverse: bool):
+    """Mixed radix-8/4/2 stage plan for the hot axis(-2) core.
+
+    Stages are covered by radix-8 butterflies (3 radix-2 stages each, 7
+    general multiplies per 8 elements) after a mul-free lead stage fixing
+    log_n mod 3: 'r2' (1 stage) or a trivial 'r4' (2 stages). Returns
+    (perm, plan) where plan entries are
+        ("r2", None, 1, True)
+        ("r4", (t, t2, t3) limb pairs, m, trivial)
+        ("r8", (t^1..t^7) limb pairs, m, trivial)
+    """
+    n = 1 << log_n
+    root = PRIMITIVE_ROOTS[n]
+    if inverse:
+        root = pow(root, P - 2, P)
+    plan = []
+    s = 0
+    rem = log_n % 3
+    if rem == 1:
+        plan.append(("r2", None, 1, True))
+        s = 1
+    elif rem == 2:
+        t = gfn.powers(pow(root, n // 4, P), 1)  # [1]
+        t2 = gfn.mul(t, t)
+        t3 = gfn.mul(t2, t)
+        plan.append(("r4", tuple(_split_u32(v) for v in (t, t2, t3)), 1, True))
+        s = 2
+    while s < log_n:
+        m = 1 << s
+        w8m = pow(root, n // (8 * m), P)
+        t1 = gfn.powers(w8m, m)
+        tabs = [t1]
+        for _ in range(6):
+            tabs.append(gfn.mul(tabs[-1], t1))
+        plan.append((
+            "r8",
+            tuple(_split_u32(v) for v in tabs),
+            m,
+            m == 1,
+        ))
+        s += 3
+    return _bit_reverse_permutation(log_n), tuple(plan)
+
+
+@functools.lru_cache(maxsize=None)
 def _device_tables(log_n: int, inverse: bool):
     """Host-side (numpy) tables. Kept as numpy — not device arrays — so that
     traced code (jit / shard_map) can safely close over them as constants;
@@ -234,21 +279,19 @@ def _radix4_true(x, tq, m, n, inverse: bool, trivial: bool):
 
 def _ntt_core_ax2(x, log_n: int, inverse: bool):
     """NTT over axis -2 of (..., n, w) limb planes. Values match _ntt_core."""
-    perm, first, pairs = _device_tables_r4(log_n, inverse)
+    perm, plan = _device_tables_mixed(log_n, inverse)
     lo, hi = x
     lo = jnp.take(lo, perm, axis=-2)
     hi = jnp.take(hi, perm, axis=-2)
     n = lo.shape[-2]
     st = (lo, hi)
-    s = 0
-    if first is not None:
-        st = _radix2_first_ax2(st, n)
-        s = 1
-    for t, t2, t3 in pairs:
-        m = 1 << s
-        st = _radix4_true_ax2(st, (t, t2, t3), m, n, inverse,
-                              trivial=(m == 1))
-        s += 2
+    for kind, tabs, m, trivial in plan:
+        if kind == "r2":
+            st = _radix2_first_ax2(st, n)
+        elif kind == "r4":
+            st = _radix4_true_ax2(st, tabs, m, n, inverse, trivial=trivial)
+        else:
+            st = _radix8_true_ax2(st, tabs, m, n, inverse, trivial=trivial)
     return gf.canon(st)
 
 
@@ -274,6 +317,66 @@ def _radix2_first_ax2(x, n):
     return (
         jnp.stack([top[0], bot[0]], axis=-2).reshape(out_shape),
         jnp.stack([top[1], bot[1]], axis=-2).reshape(out_shape),
+    )
+
+
+def _radix8_true_ax2(x, tabs, m, n, inverse: bool, trivial: bool):
+    """True radix-8 DIT butterfly over blocks of 8m (axis -2).
+
+    Scaled-DIT factorization: with t_j = omega_{8m}^j, pre-scale
+    u_q = x_q * t^{bitrev3(q)} (7 general multiplies per 8 elements;
+    exponents (0,4,2,6,1,5,3,7)), then three mul-free DFT-2 layers whose
+    internal factors are the 8-point DFT twiddles — i = 2^48 on layer 2
+    and (omega_8, i, omega_8^3) = (-2^24, 2^48, -2^72) on layer 3
+    (inverse direction: (2^72, -2^48, 2^24)) — all shift-class multiplies.
+    """
+    lo, hi = x
+    batch = lo.shape[:-2]
+    w = lo.shape[-1]
+    shape = batch + (n // (8 * m), 8, m, w)
+    lo = lo.reshape(shape)
+    hi = hi.reshape(shape)
+    xq = [(lo[..., q, :, :], hi[..., q, :, :]) for q in range(8)]
+    if trivial:
+        u = xq
+    else:
+        tw = [_tw_ax2(t) for t in tabs]  # tw[e-1] = t^e
+        exps = (None, 4, 2, 6, 1, 5, 3, 7)  # bitrev3(q)
+        u = [xq[0]]
+        for q in range(1, 8):
+            u.append(gf.mul_lazy(xq[q], tw[exps[q] - 1]))
+    # layer 1: adjacent pairs, factor 1
+    v = []
+    for q in range(0, 8, 2):
+        v.append(gf.add_lazy(u[q], u[q + 1]))
+        v.append(gf.sub_lazy(u[q], u[q + 1]))
+    # layer 2: stride 2, factors (1, i)
+    iv3 = gf.mul_by_i_lazy(v[3], inverse)
+    iv7 = gf.mul_by_i_lazy(v[7], inverse)
+    wv = [
+        gf.add_lazy(v[0], v[2]), gf.add_lazy(v[1], iv3),
+        gf.sub_lazy(v[0], v[2]), gf.sub_lazy(v[1], iv3),
+        gf.add_lazy(v[4], v[6]), gf.add_lazy(v[5], iv7),
+        gf.sub_lazy(v[4], v[6]), gf.sub_lazy(v[5], iv7),
+    ]
+    # layer 3: stride 4, factors (1, w8, i, w8^3)
+    if inverse:
+        s5 = gf.mul_by_pow2_lazy(wv[5], 72)            # w8^-1 = 2^72
+        s7 = gf.mul_by_pow2_lazy(wv[7], 24)            # w8^-3 = 2^24
+    else:
+        s5 = gf.mul_by_pow2_lazy(wv[5], 24, negate=True)   # w8 = -2^24
+        s7 = gf.mul_by_pow2_lazy(wv[7], 72, negate=True)   # w8^3 = -2^72
+    s6 = gf.mul_by_i_lazy(wv[6], inverse)
+    y = [
+        gf.add_lazy(wv[0], wv[4]), gf.add_lazy(wv[1], s5),
+        gf.add_lazy(wv[2], s6), gf.add_lazy(wv[3], s7),
+        gf.sub_lazy(wv[0], wv[4]), gf.sub_lazy(wv[1], s5),
+        gf.sub_lazy(wv[2], s6), gf.sub_lazy(wv[3], s7),
+    ]
+    out_shape = batch + (n, w)
+    return (
+        jnp.stack([p[0] for p in y], axis=-3).reshape(out_shape),
+        jnp.stack([p[1] for p in y], axis=-3).reshape(out_shape),
     )
 
 

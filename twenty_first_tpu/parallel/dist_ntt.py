@@ -34,7 +34,7 @@ import numpy as np
 import jax
 
 from jax import shard_map
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from ..math import gf
 from ..math import gf_numpy as gfn
@@ -131,11 +131,17 @@ def _make_distributed_ntt(mesh, log_n: int, inverse: bool,
 
 @functools.lru_cache(maxsize=None)
 def _twiddle_device(mesh, log_n: int, inverse: bool):
-    """Column-sharded device copy of the diagonal twiddle matrix."""
+    """Column-sharded device copy of the diagonal twiddle matrix.
+
+    Uses shard_host_array so each process only materializes its own
+    column block (multi-process safe)."""
+    from .mesh import shard_host_array
+
     tw = _twiddle_matrix(log_n, inverse)
-    sharding = NamedSharding(mesh, P(None, AXIS))
-    lo, hi = gf.to_limbs(tw)
-    return (jax.device_put(lo, sharding), jax.device_put(hi, sharding))
+    lo = (tw & np.uint64(0xFFFF_FFFF)).astype(np.uint32)
+    hi = (tw >> np.uint64(32)).astype(np.uint32)
+    return (shard_host_array(mesh, (None, AXIS), lo),
+            shard_host_array(mesh, (None, AXIS), hi))
 
 
 def distributed_ntt(x, mesh, inverse: bool = False,

@@ -33,6 +33,35 @@ def sharded(mesh: Mesh, *spec) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
+def shard_host_array(mesh: Mesh, spec, arr):
+    """Host numpy array -> global jax.Array with sharding P(*spec).
+
+    Works identically in single- and multi-process runs: every process
+    builds the full host array (deterministically cheap at these sizes)
+    and materializes only its addressable shards via the callback —
+    `jax.device_put` of a host array onto a sharding that spans
+    non-addressable devices is invalid in multi-controller mode.
+    """
+    import numpy as np
+
+    arr = np.asarray(arr)
+    sharding = NamedSharding(mesh, P(*spec))
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
+def local_checksum(a) -> int:
+    """u32 sum of the first addressable shard.
+
+    A readback that works for non-fully-addressable (multi-process)
+    arrays, used to force + fence device work in timing loops.
+    """
+    import numpy as np
+
+    return int(np.asarray(a.addressable_data(0))
+               .astype(np.uint64).sum() & 0xFFFFFFFF)
+
+
 def initialize_distributed(coordinator_address=None, num_processes=None,
                            process_id=None):
     """Multi-host initialization (jax.distributed). No-op on a single host."""

@@ -17,11 +17,9 @@ import time
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
-from ..math import gf
 from . import dist_ntt
-from .mesh import make_mesh
+from .mesh import make_mesh, shard_host_array, local_checksum
 from .pipeline import make_dist_lde_commit
 
 
@@ -45,7 +43,10 @@ def measure_dist_ntt(mesh, log_n: int) -> float:
     p = (1 << 64) - (1 << 32) + 1
     n1, n2 = dist_ntt._split_sizes(log_n)
     x = rng.integers(0, p, size=(n2, n1), dtype=np.uint64)
-    lo, hi = gf.to_limbs(x)
+    lo = shard_host_array(mesh, (None, "shard"),
+                          (x & np.uint64(0xFFFF_FFFF)).astype(np.uint32))
+    hi = shard_host_array(mesh, (None, "shard"),
+                          (x >> np.uint64(32)).astype(np.uint32))
     tw = dist_ntt._twiddle_device(mesh, log_n, False)
     run = dist_ntt._make_distributed_ntt(mesh, log_n, False, False)
 
@@ -53,7 +54,7 @@ def measure_dist_ntt(mesh, log_n: int) -> float:
         a, b = lo, hi
         for _ in range(k):
             a, b = run(a, b, tw[0], tw[1])
-        return int(jnp.sum(a, dtype=jnp.uint32))
+        return local_checksum(a)
 
     return _time_chained(run_k)
 
@@ -63,14 +64,17 @@ def measure_lde_commit(mesh, log_n: int) -> float:
     p = (1 << 64) - (1 << 32) + 1
     n1, n2 = dist_ntt._split_sizes(log_n)
     x = rng.integers(0, p, size=(n2, n1), dtype=np.uint64)
-    lo, hi = gf.to_limbs(x)
+    lo = shard_host_array(mesh, (None, "shard"),
+                          (x & np.uint64(0xFFFF_FFFF)).astype(np.uint32))
+    hi = shard_host_array(mesh, (None, "shard"),
+                          (x >> np.uint64(32)).astype(np.uint32))
     step = make_dist_lde_commit(mesh, log_n)
 
     def run_k(k):
         out = None
         for _ in range(k):
             out = step(lo, hi)
-        return int(jnp.sum(out[0], dtype=jnp.uint32))
+        return local_checksum(out[0])
 
     return _time_chained(run_k)
 
@@ -78,7 +82,12 @@ def measure_lde_commit(mesh, log_n: int) -> float:
 def scaling_report(log_n: int = 20, mesh_sizes=None) -> dict:
     n_devices = len(jax.devices())
     if mesh_sizes is None:
-        mesh_sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_devices]
+        if jax.process_count() > 1:
+            # multi-host: every process must participate in every program,
+            # so only the full global mesh is measured
+            mesh_sizes = [n_devices]
+        else:
+            mesh_sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_devices]
     report = {"log_n": log_n, "devices_available": n_devices, "ntt": {},
               "lde_commit": {}}
     base_ntt = None
