@@ -45,3 +45,34 @@ def test_large_path_dispatch_and_batch():
     np.testing.assert_array_equal(got, want)
     back = ntt.intt_values(got)
     np.testing.assert_array_equal(back, x)
+
+
+def test_radix8_plan_optin_matches_radix4():
+    """The radix-8 stage plan (opt-in, TWENTY_FIRST_TPU_NTT_RADIX8) stays
+    bit-exact vs the default radix-4 plan."""
+    import jax
+
+    # log 3: single r8 stage; log 6: two r8 stages (r4 plan: r2 lead + r4s
+    # vs pure r4s). Inverse only at log 6 — CPU compile time dominates.
+    for log_n, inverses in ((3, (False,)), (6, (False, True))):
+        n = 1 << log_n
+        x = RNG.integers(0, P, (n, 8), dtype=np.uint64)
+        lo, hi = gf.to_limbs(x)
+        for inverse in inverses:
+            perm4, plan4 = ntt._device_tables_mixed(log_n, inverse, radix8=False)
+            perm8, plan8 = ntt._device_tables_mixed(log_n, inverse, radix8=True)
+            assert any(k == "r8" for k, *_ in plan8)
+            assert all(k != "r8" for k, *_ in plan4)
+
+            old = ntt._USE_RADIX8
+            try:
+                ntt._USE_RADIX8 = False
+                want = jax.jit(lambda s: ntt._ntt_core_ax2(s, log_n, inverse))((lo, hi))
+                ntt._USE_RADIX8 = True
+                got = jax.jit(lambda s: ntt._ntt_core_ax2(s, log_n, inverse))((lo, hi))
+            finally:
+                ntt._USE_RADIX8 = old
+            np.testing.assert_array_equal(
+                gf.from_limbs((np.asarray(got[0]), np.asarray(got[1]))),
+                gf.from_limbs((np.asarray(want[0]), np.asarray(want[1]))),
+            )

@@ -25,6 +25,7 @@ decomposition with an all-to-all transpose instead of cross-chip butterflies).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -127,29 +128,46 @@ def _device_tables_r4(log_n: int, inverse: bool):
     return _bit_reverse_permutation(log_n), first_dev, pairs_dev
 
 
-@functools.lru_cache(maxsize=None)
-def _device_tables_mixed(log_n: int, inverse: bool):
+# Stage-plan radix for the hot axis(-2) core. Radix-8 does fewer general
+# multiplies per element (7/8 per 3 stages vs 3/4 per 2) but measured SLOWER
+# on v5e: 2^24 four-step 13.5 ms (r8) vs 10.3 ms (r4) — the extra shift-class
+# rotations and wider live state outweigh the saved multiplies on the VPU.
+# Radix-4 is therefore the default; set TWENTY_FIRST_TPU_NTT_RADIX8=1 to
+# re-measure the radix-8 plan on other hardware.
+_USE_RADIX8 = os.environ.get("TWENTY_FIRST_TPU_NTT_RADIX8", "0") == "1"
+
+
+def _device_tables_mixed(log_n: int, inverse: bool, radix8: bool | None = None):
     """Mixed radix-8/4/2 stage plan for the hot axis(-2) core.
 
-    Stages are covered by radix-8 butterflies (3 radix-2 stages each, 7
-    general multiplies per 8 elements) after a mul-free lead stage fixing
-    log_n mod 3: 'r2' (1 stage) or a trivial 'r4' (2 stages). Returns
-    (perm, plan) where plan entries are
+    With ``radix8`` (default from TWENTY_FIRST_TPU_NTT_RADIX8, off), stages
+    are covered by radix-8 butterflies (3 radix-2 stages each, 7 general
+    multiplies per 8 elements) after a mul-free lead stage fixing
+    log_n mod 3; otherwise by true radix-4 butterflies after an optional
+    mul-free radix-2 lead. Returns (perm, plan) where plan entries are
         ("r2", None, 1, True)
         ("r4", (t, t2, t3) limb pairs, m, trivial)
         ("r8", (t^1..t^7) limb pairs, m, trivial)
     """
+    if radix8 is None:
+        radix8 = _USE_RADIX8
+    return _device_tables_mixed_cached(log_n, inverse, radix8)
+
+
+@functools.lru_cache(maxsize=None)
+def _device_tables_mixed_cached(log_n: int, inverse: bool, radix8: bool):
     n = 1 << log_n
     root = PRIMITIVE_ROOTS[n]
     if inverse:
         root = pow(root, P - 2, P)
     plan = []
     s = 0
-    rem = log_n % 3
+    step = 3 if radix8 else 2
+    rem = log_n % step
     if rem == 1:
         plan.append(("r2", None, 1, True))
         s = 1
-    elif rem == 2:
+    elif rem == 2:  # radix8 only; a trivial radix-4 lead covers 2 stages
         t = gfn.powers(pow(root, n // 4, P), 1)  # [1]
         t2 = gfn.mul(t, t)
         t3 = gfn.mul(t2, t)
@@ -157,18 +175,19 @@ def _device_tables_mixed(log_n: int, inverse: bool):
         s = 2
     while s < log_n:
         m = 1 << s
-        w8m = pow(root, n // (8 * m), P)
-        t1 = gfn.powers(w8m, m)
+        r = 8 if radix8 else 4
+        w = pow(root, n // (r * m), P)
+        t1 = gfn.powers(w, m)
         tabs = [t1]
-        for _ in range(6):
+        for _ in range(r - 2):
             tabs.append(gfn.mul(tabs[-1], t1))
         plan.append((
-            "r8",
+            "r8" if radix8 else "r4",
             tuple(_split_u32(v) for v in tabs),
             m,
             m == 1,
         ))
-        s += 3
+        s += step
     return _bit_reverse_permutation(log_n), tuple(plan)
 
 
