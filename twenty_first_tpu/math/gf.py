@@ -176,7 +176,7 @@ def add(a, b):
     s, c = add64(a, b)
     # If the 64-bit sum wrapped, the true sum is s + 2^64 ≡ s + EPSILON (mod p),
     # and s + EPSILON cannot wrap again (sum < 2p => wrapped s < 2^64 - 2^33 + 2).
-    fix, _ = add64(s, (EPSILON, _c(0)))
+    fix = _add_eps(s)
     lo = jnp.where(c.astype(bool), fix[0], s[0])
     hi = jnp.where(c.astype(bool), fix[1], s[1])
     return _canon((lo, hi))
@@ -186,7 +186,7 @@ def sub(a, b):
     """Modular subtraction; canonical inputs, canonical output."""
     d, br = sub64(a, b)
     # On borrow the true value is d - 2^64 + p = d - EPSILON; cannot borrow again.
-    fix, _ = sub64(d, (EPSILON, _c(0)))
+    fix = _sub_eps(d)
     lo = jnp.where(br.astype(bool), fix[0], d[0])
     hi = jnp.where(br.astype(bool), fix[1], d[1])
     return lo, hi
@@ -239,18 +239,35 @@ def mul(a, b):
 # ---------------------------------------------------------------------------
 
 
+def _add_eps(x):
+    """x + EPSILON mod 2^64 for a (lo, hi) pair.
+
+    EPSILON = 2^32 - 1, so x + EPSILON == (lo - 1, hi + carry) with a carry
+    into hi unless lo == 0 — 3 ops instead of a generic add64."""
+    lo, hi = x
+    return lo - _c(1), hi + (lo != 0).astype(_U32)
+
+
+def _sub_eps(x):
+    """x - EPSILON mod 2^64: (lo + 1, hi - borrow), borrow unless lo wraps."""
+    lo, hi = x
+    return lo + _c(1), hi - (lo != EPSILON).astype(_U32)
+
+
 def reduce128_lazy(x0, x1, x2, x3):
     """Like reduce128 but returns a (possibly non-canonical) u64 residue."""
-    t, br = sub64((x0, x1), (x3, jnp.zeros_like(x3)))
-    fix, _ = sub64(t, (EPSILON, _c(0)))
-    t = (
-        jnp.where(br.astype(bool), fix[0], t[0]),
-        jnp.where(br.astype(bool), fix[1], t[1]),
-    )
+    # t = lo64 - x3 (specialized sub64: high word of subtrahend is 0)
+    t_lo = x0 - x3
+    bl = (x0 < x3).astype(_U32)
+    t_hi = x1 - bl
+    br = (x1 < bl)
+    fix = _sub_eps((t_lo, t_hi))
+    t = (jnp.where(br, fix[0], t_lo), jnp.where(br, fix[1], t_hi))
+    # t += x2 * (2^32 - 1) == (x2 << 32) - x2
     m_lo = jnp.zeros_like(x2) - x2
     m_hi = x2 - (x2 != 0).astype(_U32)
     t2, c = add64(t, (m_lo, m_hi))
-    fix, _ = add64(t2, (EPSILON, _c(0)))
+    fix = _add_eps(t2)
     return (
         jnp.where(c.astype(bool), fix[0], t2[0]),
         jnp.where(c.astype(bool), fix[1], t2[1]),
@@ -266,28 +283,33 @@ def add_lazy(a, b):
     """Modular add on arbitrary u64 residues (u64 residue out).
 
     On 64-bit wrap the sum gains 2^64 ≡ EPSILON; with non-canonical inputs
-    the EPSILON fix can wrap once more (s > 2^64 - 2^32), never a third time.
+    the EPSILON fix can wrap once more (exactly when s >= p), never a third
+    time. Both fixes are applied in ONE pass: with wrap count k ∈ {0, 1, 2},
+    s + k*EPSILON == (lo - k, hi + k - borrow) — 5 ops instead of two
+    chained conditional add64 fixes.
     """
     s, c = add64(a, b)
-    w = c.astype(bool)
-    f, c2 = add64(s, (EPSILON, _c(0)))
-    s = (jnp.where(w, f[0], s[0]), jnp.where(w, f[1], s[1]))
-    w2 = w & c2.astype(bool)
-    f2, _ = add64(s, (EPSILON, _c(0)))
-    return (jnp.where(w2, f2[0], s[0]), jnp.where(w2, f2[1], s[1]))
+    k = c + (c & _ge_p(s).astype(_U32))
+    lo, hi = s
+    nlo = lo - k
+    nhi = hi + k - (lo < k).astype(_U32)
+    return nlo, nhi
 
 
 def sub_lazy(a, b):
-    """Modular subtract on arbitrary u64 residues (u64 residue out)."""
+    """Modular subtract on arbitrary u64 residues (u64 residue out).
+
+    A 64-bit borrow costs -EPSILON; the -EPSILON fix borrows once more
+    exactly when d < EPSILON (then only possible for b - a > p). With
+    borrow count k ∈ {0, 1, 2}: d - k*EPSILON == (lo + k, hi - k + carry).
+    """
     d, br = sub64(a, b)
-    w = br.astype(bool)
-    f, br2 = sub64(d, (EPSILON, _c(0)))
-    d = (jnp.where(w, f[0], d[0]), jnp.where(w, f[1], d[1]))
-    # if the fix itself wrapped (only possible when b - a > p), the wrap
-    # added 2^64 ≡ EPSILON; take it back out. Cannot wrap a third time.
-    w2 = w & br2.astype(bool)
-    f2, _ = sub64(d, (EPSILON, _c(0)))
-    return (jnp.where(w2, f2[0], d[0]), jnp.where(w2, f2[1], d[1]))
+    lo, hi = d
+    lt_eps = ((hi == 0) & (lo != EPSILON)).astype(_U32)
+    k = br + (br & lt_eps)
+    nlo = lo + k
+    nhi = hi - k + (nlo < k).astype(_U32)
+    return nlo, nhi
 
 
 def mul_by_pow2_lazy(a, e: int, negate: bool = False):
