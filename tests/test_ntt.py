@@ -122,3 +122,17 @@ def test_scalar_object_api():
 def test_bad_lengths_rejected():
     with pytest.raises(ntt.NttDomainError):
         ntt.ntt_values(np.zeros(3, dtype=np.uint64))
+
+
+@pytest.mark.parametrize("log_n", [12, 15])
+@pytest.mark.parametrize("inverse", [False, True])
+def test_three_step_matches_oracle(log_n, inverse):
+    """Three-factor (Bailey) decomposition == radix-2 host oracle, fwd+inv,
+    including a leading batch dim (the xfe plane layout)."""
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, P, size=(3, 1 << log_n), dtype=np.uint64)
+    want = ntt.ntt_host(vals, inverse=inverse)
+    t1, diag, _ = ntt._three_step_tables_device(log_n, inverse)
+    got = gf.from_limbs(ntt._jitted_three_step(log_n, inverse)(
+        *gf.to_limbs(vals), t1[0], t1[1], diag[0], diag[1]))
+    assert np.array_equal(want, got)

@@ -298,12 +298,69 @@ def _radix4_true(x, tq, m, n, inverse: bool, trivial: bool):
 
 def _ntt_core_ax2(x, log_n: int, inverse: bool):
     """NTT over axis -2 of (..., n, w) limb planes. Values match _ntt_core."""
-    perm, plan = _device_tables_mixed(log_n, inverse)
+    perm, _ = _device_tables_mixed(log_n, inverse)
     lo, hi = x
     lo = jnp.take(lo, perm, axis=-2)
     hi = jnp.take(hi, perm, axis=-2)
-    n = lo.shape[-2]
-    st = (lo, hi)
+    return gf.canon(_ntt_stages_ax2((lo, hi), log_n, inverse))
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_tw_flat(log_n: int, inverse: bool):
+    """Stage-plan twiddles flattened into one (L, 1) limb-plane pair, plus
+    per-layer metadata (kind, table_offset_or_None, m, trivial). Built for
+    Pallas kernels, which cannot capture numpy constants — the flat pair is
+    passed as a kernel input ref and sliced statically per layer."""
+    _, plan = _device_tables_mixed(log_n, inverse)
+    los, his, metas = [], [], []
+    off = 0
+    for kind, tabs, m, trivial in plan:
+        if kind == "r2" or trivial:
+            metas.append((kind, None, m, trivial))
+            continue
+        for tlo, thi in tabs:
+            los.append(tlo)
+            his.append(thi)
+        metas.append((kind, off, m, trivial))
+        off += len(tabs) * m
+    lo = np.concatenate(los) if los else np.zeros(0, np.uint32)
+    hi = np.concatenate(his) if his else np.zeros(0, np.uint32)
+    pad = (-len(lo)) % 8 or 8
+    lo = np.concatenate([lo, np.zeros(pad, np.uint32)])
+    hi = np.concatenate([hi, np.zeros(pad, np.uint32)])
+    return lo.reshape(-1, 1), hi.reshape(-1, 1), tuple(metas)
+
+
+def _ntt_stages_ax2_tw(st, log_n: int, inverse: bool, twl, twh):
+    """Butterfly stages on BIT-REVERSED (..., n, w) input with twiddles read
+    from a flat (L, 1) pair (see _stage_tw_flat); lazy output. Safe inside
+    Pallas kernels (no captured numpy arrays)."""
+    _, _, metas = _stage_tw_flat(log_n, inverse)
+    n = st[0].shape[-2]
+    for kind, off, m, trivial in metas:
+        if kind == "r2":
+            st = _radix2_first_ax2(st, n)
+            continue
+        ntab = 3 if kind == "r4" else 7
+        tq = None
+        if not trivial:
+            tq = tuple(
+                (twl[off + j * m: off + (j + 1) * m, :],
+                 twh[off + j * m: off + (j + 1) * m, :])
+                for j in range(ntab)
+            )
+        if kind == "r4":
+            st = _radix4_true_ax2(st, tq, m, n, inverse, trivial=trivial)
+        else:
+            st = _radix8_true_ax2(st, tq, m, n, inverse, trivial=trivial)
+    return st
+
+
+def _ntt_stages_ax2(st, log_n: int, inverse: bool):
+    """Butterfly stages of the axis(-2) core on BIT-REVERSED input; lazy
+    (non-canonical) output. Shared by the XLA path and the Pallas kernels."""
+    _, plan = _device_tables_mixed(log_n, inverse)
+    n = st[0].shape[-2]
     for kind, tabs, m, trivial in plan:
         if kind == "r2":
             st = _radix2_first_ax2(st, n)
@@ -311,12 +368,17 @@ def _ntt_core_ax2(x, log_n: int, inverse: bool):
             st = _radix4_true_ax2(st, tabs, m, n, inverse, trivial=trivial)
         else:
             st = _radix8_true_ax2(st, tabs, m, n, inverse, trivial=trivial)
-    return gf.canon(st)
+    return st
 
 
 def _tw_ax2(tw):
-    """Reshape a stage-twiddle plane pair for axis(-2) broadcast: (m,) -> (m, 1)."""
+    """Reshape a stage-twiddle plane pair for axis(-2) broadcast: (m,) -> (m, 1).
+
+    Pairs already shaped (m, 1) — e.g. slices of a Pallas twiddle ref —
+    pass through unchanged."""
     lo, hi = tw
+    if lo.ndim == 2:
+        return lo, hi
     return lo[:, None], hi[:, None]
 
 
@@ -615,12 +677,188 @@ def _jitted_four_step(log_n: int, inverse: bool):
     return run
 
 
+# -- three-factor (Bailey) decomposition -------------------------------------
+#
+# At 2^23+ the two-factor split's local transforms (2^12+) no longer fit the
+# butterfly pipeline in VMEM (~16 MB/core): measured at 2^24, each (4096, 128)
+# slab spills between layers and the per-element rate drops 4x vs 2^22.
+# Splitting into THREE factors n = C*B*A keeps every local transform <= 2^11
+# so each slab's full stage pipeline is VMEM-resident:
+#
+#   x[j1 + A*jb + A*B*jc]   (tensor view (C, B, A), j1 minor)
+#   1a. NTT_C over jc (axis -3, lanes B*A)               -> Y[kc, jb, j1]
+#   1b. per-kc: mul T1[kc, jb] = w_{BC}^{jb*kc};
+#       NTT_B over jb (axis -2, lanes A);
+#       mul outer diag D[k2, j1] = w_n^{j1*k2}           -> Z[kc, kb, j1]
+#       (inner NTT_{BC} output index k2 = kc + C*kb lives at physical row
+#        r = kb + B*kc — D is stored host-permuted to this row order)
+#   2.  gather rows in k2-natural order (row_perm), transpose each 128-row
+#       slab in VMEM, NTT_A over j1, scale by n^-1 (inverse)
+#                                                        -> X[k2 + BC*k1]
+#
+# MEASURED (v5e, 2^24): 15.0 ms vs 9.75 ms for the two-factor split — under
+# XLA every butterfly layer materializes one full HBM round trip (~0.62 ms at
+# 2^24) regardless of local-transform size, so the extra pass structure only
+# adds traffic. The decomposition is kept (correct, oracle-tested) because it
+# is the right shape for a VMEM-resident Pallas pipeline; the XLA dispatcher
+# does NOT use it.
+THREE_STEP_THRESHOLD_LOG2 = None  # disabled for the XLA path (see above)
+
+
+def _three_step_split(log_n: int) -> tuple[int, int, int]:
+    """(log_a, log_b, log_c) with A the lane factor; all <= 2^11 for n <= 2^33."""
+    log_a = (log_n + 2) // 3
+    rem = log_n - log_a
+    log_b = (rem + 1) // 2
+    return log_a, log_b, rem - log_b
+
+
+@functools.lru_cache(maxsize=None)
+def _three_step_tables_host(log_n: int, inverse: bool):
+    """(t1, diag, row_perm): inner diag (C, B), outer diag (B*C, A) in
+    physical row order r = kb + B*kc, and row_perm[k2] = physical row of k2."""
+    log_a, log_b, log_c = _three_step_split(log_n)
+    a, b, c = 1 << log_a, 1 << log_b, 1 << log_c
+    root = PRIMITIVE_ROOTS[1 << log_n]
+    if inverse:
+        root = pow(root, P - 2, P)
+    # T1[kc, jb] = (root^A)^(jb*kc)
+    w_bc = pow(root, a, P)
+    row = gfn.powers(w_bc, b)
+    t1 = np.empty((c, b), dtype=np.uint64)
+    t1[0] = 1
+    for kc in range(1, c):
+        t1[kc] = gfn.mul(t1[kc - 1], row)
+    # D[k2, j1] = root^(j1*k2), built in natural k2 order then permuted to
+    # physical rows r = kb + B*kc (k2 = kc + C*kb).
+    j1 = gfn.powers(root, a)
+    d = np.empty((b * c, a), dtype=np.uint64)
+    d[0] = 1
+    for k2 in range(1, b * c):
+        d[k2] = gfn.mul(d[k2 - 1], j1)
+    k2_arr = np.arange(b * c, dtype=np.int64)
+    row_perm = (k2_arr // c) + b * (k2_arr % c)  # physical row of natural k2
+    d_phys = np.empty_like(d)
+    d_phys[row_perm] = d
+    return (_split_u32(t1), _split_u32(d_phys),
+            row_perm.astype(np.int32))
+
+
+@functools.lru_cache(maxsize=None)
+def _three_step_tables_device(log_n: int, inverse: bool):
+    t1, diag, row_perm = _three_step_tables_host(log_n, inverse)
+    return ((jnp.asarray(t1[0]), jnp.asarray(t1[1])),
+            (jnp.asarray(diag[0]), jnp.asarray(diag[1])),
+            row_perm)
+
+
+# Rows per slab in the final (transposed) pass of the three-step NTT.
+_ROW_SLAB = 128
+
+
+def three_step_ntt_traceable(x, log_n: int, inverse: bool, t1, diag, row_perm):
+    """Trace-composable three-factor NTT over the last axis (see above)."""
+    lo, hi = x
+    log_a, log_b, log_c = _three_step_split(log_n)
+    a, b, c = 1 << log_a, 1 << log_b, 1 << log_c
+    batch = lo.shape[:-1]
+    # pass 1a: NTT_C over axis -2, lanes B*A (slab-mapped)
+    lo = lo.reshape(batch + (c, b * a))
+    hi = hi.reshape(batch + (c, b * a))
+    lo, hi = _local_pass((lo, hi), log_c, inverse)
+    # pass 1b: map over kc; T1 row on the input side, outer diag on the output
+    lo = lo.reshape(batch + (c, b, a))
+    hi = hi.reshape(batch + (c, b, a))
+    lo, hi = _pass1b((lo, hi), log_b, inverse, t1, diag)
+    # pass 2: row-gathered transposed pass, NTT_A over j1
+    lo = lo.reshape(batch + (b * c, a))
+    hi = hi.reshape(batch + (b * c, a))
+    n_inv = pow(1 << log_n, P - 2, P) if inverse else None
+    zlo, zhi = _pass2_rows((lo, hi), log_a, inverse, row_perm, n_inv)
+    return (zlo.reshape(batch + (a * b * c,)),
+            zhi.reshape(batch + (a * b * c,)))
+
+
+def _pass1b(x, log_b, inverse: bool, t1, diag):
+    """Map over axis -3 (kc): input-side T1 mul, NTT over axis -2, output-side
+    outer-diag mul. Leading batch dims ride inside the map body (the local
+    matrices are small enough to stay VMEM-resident)."""
+    lo, hi = x  # (..., C, B, A)
+    c = lo.shape[-3]
+    b, a = lo.shape[-2], lo.shape[-1]
+    t1lo = jnp.asarray(t1[0]).reshape(c, b, 1)
+    t1hi = jnp.asarray(t1[1]).reshape(c, b, 1)
+    dlo = diag[0].reshape(c, b, a)
+    dhi = diag[1].reshape(c, b, a)
+    lo3 = jnp.moveaxis(lo, -3, 0)  # (C, ..., B, A); identity when batch = ()
+    hi3 = jnp.moveaxis(hi, -3, 0)
+
+    def body(args):
+        slo, shi, st1l, st1h, sdl, sdh = args
+        st = gf.mul((slo, shi), (st1l, st1h))
+        st = _ntt_core_ax2(st, log_b, inverse)
+        olo, ohi = gf.mul(st, (sdl, sdh))
+        return olo, ohi
+
+    olo, ohi = jax.lax.map(body, (lo3, hi3, t1lo, t1hi, dlo, dhi))
+    return jnp.moveaxis(olo, 0, -3), jnp.moveaxis(ohi, 0, -3)
+
+
+def _pass2_rows(x, log_a, inverse: bool, row_perm, post_const):
+    """Final pass: gather rows in k2-natural order slab by slab, transpose
+    each slab in VMEM, transform over the (former) lane axis, and assemble
+    lanes back in natural order."""
+    lo, hi = x  # (..., R, A)
+    r = lo.shape[-2]
+    if r % _ROW_SLAB:
+        # small/test shapes: single gather + transpose, no slab map
+        glo = jnp.take(lo, jnp.asarray(row_perm), axis=-2)
+        ghi = jnp.take(hi, jnp.asarray(row_perm), axis=-2)
+        out = _ntt_core_ax2((jnp.swapaxes(glo, -1, -2),
+                             jnp.swapaxes(ghi, -1, -2)), log_a, inverse)
+        if post_const is not None:
+            out = gf.mul_const(out, post_const)
+        return out
+    perm_slabs = jnp.asarray(row_perm.reshape(r // _ROW_SLAB, _ROW_SLAB))
+
+    def body(idx):
+        slo = jnp.take(lo, idx, axis=-2)  # (..., _ROW_SLAB, A)
+        shi = jnp.take(hi, idx, axis=-2)
+        out = _ntt_core_ax2((jnp.swapaxes(slo, -1, -2),
+                             jnp.swapaxes(shi, -1, -2)), log_a, inverse)
+        if post_const is not None:
+            out = gf.mul_const(out, post_const)
+        return out
+
+    olo, ohi = jax.lax.map(body, perm_slabs)  # (nslab, ..., A, _ROW_SLAB)
+    olo = jnp.moveaxis(olo, 0, -2)
+    ohi = jnp.moveaxis(ohi, 0, -2)
+    return (olo.reshape(olo.shape[:-2] + (r,)),
+            ohi.reshape(ohi.shape[:-2] + (r,)))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_three_step(log_n: int, inverse: bool):
+    _, _, row_perm = _three_step_tables_host(log_n, inverse)
+
+    @jax.jit
+    def run(lo, hi, t1lo, t1hi, dlo, dhi):
+        return three_step_ntt_traceable(
+            (lo, hi), log_n, inverse, (t1lo, t1hi), (dlo, dhi), row_perm)
+
+    return run
+
+
 def ntt_limbs(x, inverse: bool = False):
     """NTT over the last axis of limb planes (lo, hi). Shape-preserving."""
     lo, hi = x
     log_n = _check_len(lo.shape[-1])
     if lo.shape[-1] <= 1:
         return x
+    if THREE_STEP_THRESHOLD_LOG2 and log_n >= THREE_STEP_THRESHOLD_LOG2:
+        t1, diag, _ = _three_step_tables_device(log_n, inverse)
+        return _jitted_three_step(log_n, inverse)(
+            lo, hi, t1[0], t1[1], diag[0], diag[1])
     if log_n >= FOUR_STEP_THRESHOLD_LOG2:
         diag = _four_step_diag_device(log_n, inverse)
         return _jitted_four_step(log_n, inverse)(lo, hi, diag[0], diag[1])
