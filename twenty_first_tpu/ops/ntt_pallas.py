@@ -1,23 +1,27 @@
-"""Pallas TPU kernel: fused-stage column NTT for the four-step transform.
+"""Pallas TPU kernels: fused-stage local passes for the four-step NTT.
 
-The XLA butterfly implementation materializes the full array every stage
-(~2 passes over HBM per stage, ~24 stages at 2^24). This kernel runs ALL
-log2(n_local) stages of a local transform in VMEM: the (n_local, TC) tile
-is read once, transformed in registers/VMEM, written once.
+Why this exists: under plain XLA every butterfly layer's interleave is a
+`concatenate` HLO, which breaks fusion, so each of the ~12 radix-4 layers of
+a 2^24 four-step transform materializes one full HBM round trip (~0.62 ms).
+Measured at 2^24 the XLA path is HBM-bound at ~9.8 ms regardless of
+local-transform size (see DESIGN.md). These kernels run ALL butterfly layers
+of a (n_local, tc) tile inside VMEM: each pass reads the array once and
+writes it once, with the per-layer interleaves as VMEM relayouts.
 
-Key layout choice: the transform runs along the MAJOR axis (axis 0) of a
-(n_local, TC) tile with the batch/free index on the lanes. Every butterfly
-stage is then a major-axis reshape (free in row-major tiling) plus
-non-minor slicing — no lane-granularity constraints at any stage size, and
-the per-stage twiddles broadcast along the lanes.
+Structure (mirrors math/ntt.four_step_ntt_traceable, same values):
 
-Used by ntt_pallas.four_step_ntt: reshape (n,) -> (n2, n1), column-NTT
-kernel over axis 0, diagonal twiddle multiply (fused into the second
-kernel's prologue), transpose, column-NTT again — natural-order output,
-identical values to math/ntt.py (pinned in tests).
+    x (n2, n1) --XLA row gather (bit-rev j2)--> P1 kernel (stages over axis 0)
+      --XLA transpose + row gather (bit-rev j1) + diagonal mul-->
+      P2 kernel (stages over axis 0, n^-1 fused) --> (n1, n2) natural order
 
-Bit-reversal is hoisted OUT of the kernel as one XLA row-gather per pass
-(rows move whole 128-lane vectors; cheap next to the butterfly passes).
+The butterfly stages themselves are shared with the XLA path
+(math/ntt._ntt_stages_ax2_tw): true radix-4 lazy-residue butterflies with
+twiddles passed as a flat (L, 1) input ref (Pallas kernels cannot capture
+numpy constants).
+
+Reference parity: same transform as twenty-first/src/math/ntt.rs:67-214;
+the fused-stage tiling is the TPU replacement for its cache-resident
+in-place butterfly loop.
 """
 
 from __future__ import annotations
@@ -34,160 +38,112 @@ from ..math import gf
 from ..math import ntt as ntt_mod
 from ..math.b_field_element import P
 
-
-def _col_ntt_kernel_factory(log_n: int, with_diag: bool):
-    """Kernel: (n, TC) tile -> in-place NTT along axis 0.
-
-    Inputs: lo, hi, per-stage twiddles (concatenated (n-1,) limb vectors),
-    optionally a (n, TC) diagonal-twiddle tile multiplied in before the
-    butterflies (used to fuse the four-step diagonal into pass 2).
-    """
-    n = 1 << log_n
-
-    def kernel(*refs):
-        if with_diag:
-            lo_ref, hi_ref, twl_ref, twh_ref, dlo_ref, dhi_ref, \
-                out_lo_ref, out_hi_ref = refs
-        else:
-            lo_ref, hi_ref, twl_ref, twh_ref, out_lo_ref, out_hi_ref = refs
-        tc = lo_ref.shape[1]
-        # Stage results round-trip through the OUTPUT refs: the ref writes
-        # end value liveness each stage so the VMEM allocator reuses one
-        # set of stage buffers instead of stacking log_n of them (which
-        # blows the 16 MB scoped-vmem limit).
-        if with_diag:
-            olo, ohi = gf.mul((lo_ref[...], hi_ref[...]),
-                              (dlo_ref[...], dhi_ref[...]))
-            out_lo_ref[...] = olo
-            out_hi_ref[...] = ohi
-        else:
-            out_lo_ref[...] = lo_ref[...]
-            out_hi_ref[...] = hi_ref[...]
-        offset = 0
-        for s in range(log_n):
-            m = 1 << s
-            blocks = n // (2 * m)
-            lo = out_lo_ref[...].reshape(blocks, 2 * m, tc)
-            hi = out_hi_ref[...].reshape(blocks, 2 * m, tc)
-            u = (lo[:, :m, :], hi[:, :m, :])
-            v = (lo[:, m:, :], hi[:, m:, :])
-            # twiddles live in a (L, 1) column array: sublane-major, so the
-            # (m, 1) -> (1, m, 1) reshape is metadata-only and broadcasts
-            # along blocks (major) and lanes (minor)
-            twl = twl_ref[offset: offset + m, :].reshape(1, m, 1)
-            twh = twh_ref[offset: offset + m, :].reshape(1, m, 1)
-            offset += m
-            v = gf.mul(v, (twl, twh))
-            top = gf.add(u, v)
-            bot = gf.sub(u, v)
-            out_lo_ref[...] = jnp.concatenate(
-                [top[0], bot[0]], axis=1).reshape(n, tc)
-            out_hi_ref[...] = jnp.concatenate(
-                [top[1], bot[1]], axis=1).reshape(n, tc)
-
-    return kernel
+# Column-tile width of the fused-stage kernels. 128 = one VPU lane group;
+# the (n_local, 128) tile plus stage temporaries stays inside VMEM for
+# n_local <= 2^12.
+_TC = 128
 
 
-@functools.lru_cache(maxsize=None)
-def _stage_twiddles_flat(log_n: int, inverse: bool):
-    """All per-stage twiddles concatenated as (L, 1) column arrays."""
-    _, stages = ntt_mod._device_tables(log_n, inverse)
-    lo = np.concatenate([s[0] for s in stages]) if stages else \
-        np.zeros(0, np.uint32)
-    hi = np.concatenate([s[1] for s in stages]) if stages else \
-        np.zeros(0, np.uint32)
-    # pad to a sublane-friendly length
-    pad = (-len(lo)) % 8 or 8
-    lo = np.concatenate([lo, np.zeros(pad, np.uint32)])
-    hi = np.concatenate([hi, np.zeros(pad, np.uint32)])
-    return lo.reshape(-1, 1), hi.reshape(-1, 1)
+def fused_local_pass(x, log_t: int, inverse: bool, post_const: int | None = None,
+                     tc: int = _TC, pregathered: bool = False):
+    """NTT over axis -2 of (..., t, w) limb planes via one fused-stage kernel.
 
-
-def col_ntt(x, log_n: int, inverse: bool, tc: int = 128, diag=None):
-    """NTT along axis 0 of (n, cols) limb planes via the fused-stage kernel.
-
-    If `diag` limb planes are given, multiplies elementwise before the
-    butterflies (four-step diagonal fusion). Includes the bit-reversal
-    row gather (XLA) before the kernel. cols % tc == 0.
+    One HBM read + one HBM write for all butterfly layers (plus the XLA
+    bit-reverse row gather unless ``pregathered``).
     """
     lo, hi = x
-    n = 1 << log_n
-    cols = lo.shape[1]
-    assert lo.shape[0] == n and cols % tc == 0
-    perm, _ = ntt_mod._device_tables(log_n, inverse)
-    twl, twh = _stage_twiddles_flat(log_n, inverse)
-    lo = jnp.take(lo, perm, axis=0)
-    hi = jnp.take(hi, perm, axis=0)
-    grid = (cols // tc,)
-    data_spec = pl.BlockSpec((n, tc), lambda i: (0, i))
-    tw_spec = pl.BlockSpec(twl.shape, lambda i: (0, 0))
-    in_specs = [data_spec, data_spec, tw_spec, tw_spec]
-    args = [lo, hi, jnp.asarray(twl), jnp.asarray(twh)]
-    if diag is not None:
-        in_specs += [data_spec, data_spec]
-        args += [diag[0], diag[1]]
-    try:
-        params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-    except TypeError:  # older API name
-        params = None
-    return pl.pallas_call(
-        _col_ntt_kernel_factory(log_n, diag is not None),
-        grid=grid,
-        in_specs=in_specs,
+    t = 1 << log_t
+    assert lo.shape[-2] == t
+    w = lo.shape[-1]
+    batch = lo.shape[:-2]
+    nb = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    lo = lo.reshape((nb, t, w))
+    hi = hi.reshape((nb, t, w))
+    if not pregathered:
+        perm, _ = ntt_mod._device_tables_mixed(log_t, inverse)
+        lo = jnp.take(lo, perm, axis=-2)
+        hi = jnp.take(hi, perm, axis=-2)
+    tc = min(tc, w)
+    assert w % tc == 0
+    twl, twh, _ = ntt_mod._stage_tw_flat(log_t, inverse)
+    data_spec = pl.BlockSpec((1, t, tc), lambda b, i: (b, 0, i))
+    tw_spec = pl.BlockSpec(twl.shape, lambda b, i: (0, 0))
+
+    def kernel(lo_ref, hi_ref, twl_ref, twh_ref, olo_ref, ohi_ref):
+        st = (lo_ref[0], hi_ref[0])
+        st = ntt_mod._ntt_stages_ax2_tw(st, log_t, inverse,
+                                        twl_ref[...], twh_ref[...])
+        if post_const is not None:
+            olo, ohi = gf.mul_const(gf.canon(st), post_const)
+        else:
+            olo, ohi = gf.canon(st)
+        olo_ref[0] = olo
+        ohi_ref[0] = ohi
+
+    olo, ohi = pl.pallas_call(
+        kernel,
+        grid=(nb, w // tc),
+        in_specs=[data_spec, data_spec, tw_spec, tw_spec],
         out_specs=[data_spec, data_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((n, cols), jnp.uint32),
-            jax.ShapeDtypeStruct((n, cols), jnp.uint32),
-        ],
-        **({"compiler_params": params} if params is not None else {}),
-    )(*args)
+        out_shape=[jax.ShapeDtypeStruct((nb, t, w), jnp.uint32)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(lo, hi, jnp.asarray(twl), jnp.asarray(twh))
+    return olo.reshape(batch + (t, w)), ohi.reshape(batch + (t, w))
 
 
-def four_step_ntt(x, log_n: int, inverse: bool, diag, tc: int = 128):
-    """Natural-order NTT of (n,) limb planes via two fused-stage passes.
+def four_step_ntt(x, log_n: int, inverse: bool, diag):
+    """Natural-order NTT over the last axis of (..., n) limb planes.
 
-    Same math as math/ntt.four_step_ntt_traceable; the diagonal twiddle is
-    fused into the second pass's prologue.
+    Same values as math/ntt.four_step_ntt_traceable. The bit-reverse row
+    gather of pass 2 and the four-step diagonal multiply ride one XLA
+    transpose pass between the two kernels.
     """
     lo, hi = x
     log_n1, log_n2 = ntt_mod._four_step_split(log_n)
     n1, n2 = 1 << log_n1, 1 << log_n2
-    lo = lo.reshape(n2, n1)
-    hi = hi.reshape(n2, n1)
-    # Narrower column tiles for tall transforms keep the per-stage kernel
-    # stack within VMEM (stage temporaries scale with n_local * tc).
-    if log_n2 > 10:
-        tc = min(tc, 64)
-    # pass 1: NTT over j2 (axis 0 already)
-    y = col_ntt((lo, hi), log_n2, inverse, tc=min(tc, n1))
-    # diagonal twiddle w^(j1*k2) is indexed [k2, j1]; transpose to match the
-    # second pass's [j1, k2] layout and fuse into its prologue. The kernel
-    # multiplies AFTER the bit-reversal row gather, so permute the diagonal's
-    # rows the same way.
-    perm1, _ = ntt_mod._device_tables(log_n1, inverse)
-    dl = jnp.take(jnp.transpose(diag[0]), perm1, axis=0)
-    dh = jnp.take(jnp.transpose(diag[1]), perm1, axis=0)
-    y = (jnp.transpose(y[0]), jnp.transpose(y[1]))  # [j1, k2]
-    z = col_ntt(y, log_n1, inverse, tc=min(tc, n2), diag=(dl, dh))
-    # z[k1, k2] = X[k2 + n2*k1] -> natural order flatten
-    zlo = z[0].reshape(-1)
-    zhi = z[1].reshape(-1)
-    if inverse:
-        zlo, zhi = gf.mul_const((zlo, zhi), pow(1 << log_n, P - 2, P))
-    return zlo, zhi
+    batch = lo.shape[:-1]
+    lo = lo.reshape(batch + (n2, n1))
+    hi = hi.reshape(batch + (n2, n1))
+    # pass 1: NTT over j2 (axis -2) -> Y[k2, j1]
+    y = fused_local_pass((lo, hi), log_n2, inverse)
+    # transpose to [j1, k2], bit-reverse j1 rows, multiply the diagonal
+    # twiddle w^(j1*k2) (diag is stored [k2, j1]; transpose + same row
+    # gather applied host-side via XLA ops so the elementwise mul fuses
+    # into the gather's output)
+    perm1, _ = ntt_mod._device_tables_mixed(log_n1, inverse)
+    yt_lo = jnp.take(jnp.swapaxes(y[0], -1, -2), perm1, axis=-2)
+    yt_hi = jnp.take(jnp.swapaxes(y[1], -1, -2), perm1, axis=-2)
+    d_lo = jnp.take(jnp.swapaxes(diag[0], -1, -2), perm1, axis=-2)
+    d_hi = jnp.take(jnp.swapaxes(diag[1], -1, -2), perm1, axis=-2)
+    yt = gf.mul((yt_lo, yt_hi), (d_lo, d_hi))
+    # pass 2: NTT over j1 (axis -2), 1/n fused -> Z[k1, k2]
+    n_inv = pow(1 << log_n, P - 2, P) if inverse else None
+    z = fused_local_pass(yt, log_n1, inverse, post_const=n_inv,
+                         pregathered=True)
+    return (z[0].reshape(batch + (n1 * n2,)),
+            z[1].reshape(batch + (n1 * n2,)))
 
 
-@functools.partial(jax.jit, static_argnames=("log_n", "inverse", "tc"))
-def _jitted_four_step(lo, hi, dlo, dhi, log_n: int, inverse: bool,
-                      tc: int = 128):
-    return four_step_ntt((lo, hi), log_n, inverse, (dlo, dhi), tc=tc)
+@functools.lru_cache(maxsize=None)
+def _jitted_four_step(log_n: int, inverse: bool):
+    @jax.jit
+    def run(lo, hi, dlo, dhi):
+        return four_step_ntt((lo, hi), log_n, inverse, (dlo, dhi))
+
+    return run
+
+
+def ntt_limbs(x, inverse: bool = False):
+    """NTT over the last axis of limb planes via the Pallas kernels."""
+    lo, hi = x
+    log_n = int(lo.shape[-1]).bit_length() - 1
+    diag = ntt_mod._four_step_diag_device(log_n, inverse)
+    return _jitted_four_step(log_n, inverse)(lo, hi, diag[0], diag[1])
 
 
 def ntt_values(values: np.ndarray, inverse: bool = False) -> np.ndarray:
-    """Host-convenience single-vector NTT through the Pallas kernels."""
+    """Host-convenience NTT through the Pallas kernels."""
     values = np.asarray(values, dtype=np.uint64)
-    log_n = int(values.shape[-1]).bit_length() - 1
-    lo, hi = gf.to_limbs(values)
-    diag = ntt_mod._four_step_diag_device(log_n, inverse)
-    out = _jitted_four_step(lo, hi, diag[0], diag[1], log_n, inverse)
+    out = ntt_limbs(gf.to_limbs(values), inverse=inverse)
     return gf.from_limbs(out)
