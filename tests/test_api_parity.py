@@ -70,7 +70,7 @@ def test_digest_corruptor():
     d = Digest([1, 2, 3, 4, 5])
     corrupted = DigestCorruptor([0, 4], [1, -1]).corrupt(d)
     assert corrupted == Digest([2, 2, 3, 4, 4])
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         DigestCorruptor([0], [0])
 
 
@@ -100,3 +100,33 @@ def test_prelude_surface():
                    MerkleTree, MmrMembershipProof, Mmr, MmrAccumulator,
                    ArchivalMmr, MmrSuccessorProof, LeafMutation, Sponge]:
         assert symbol is not None
+
+
+def test_round2_parity_shims():
+    """Small reference-surface functions added for line-by-line parity."""
+    from twenty_first_tpu.math.b_field_element import bfe
+    from twenty_first_tpu.math.x_field_element import as_flat_slice, xfe
+    from twenty_first_tpu.tip5.digest import Digest, DigestCorruptor
+    from twenty_first_tpu.util_types.merkle_tree import (
+        MerkleTree, MerkleTreeError, MerkleTreeInclusionProof)
+
+    v = bfe(5)
+    assert v.raw_u128() == v.raw_u64()
+    assert v.increment() == bfe(6)
+    assert v.decrement() == bfe(4)
+    assert as_flat_slice([xfe((1, 2, 3))]) == [bfe(1), bfe(2), bfe(3)]
+
+    d = Digest([bfe(i) for i in range(5)])
+    c = DigestCorruptor([0], [bfe(99)])
+    assert c.corrupt_digest(d).values()[0] == bfe(99)
+    import pytest
+    with pytest.raises(ValueError):
+        DigestCorruptor([0], [bfe(0)])
+
+    leafs = [Digest([bfe(i)] * 5) for i in range(4)]
+    tree = MerkleTree.new(leafs)
+    proof = tree.inclusion_proof_for_leaf_indices([1])
+    proof.try_verify(tree.root())  # no raise
+    bad = Digest([bfe(7)] * 5)
+    with pytest.raises(MerkleTreeError):
+        proof.try_verify(bad)

@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from twenty_first_tpu.math.b_field_element import BFieldElement, bfe, P
+from twenty_first_tpu.errors import PolynomialError
 from twenty_first_tpu.math.polynomial import Polynomial, barycentric_evaluate
 from twenty_first_tpu.math.x_field_element import XFieldElement, xfe
 from twenty_first_tpu.math.zerofier_tree import ZerofierTree
@@ -265,3 +266,25 @@ def test_fast_reduce_matches_divide():
         _, want = n.divide(d)
         assert fast == want, (dn, dd)
         assert n.reduce(d) == want
+
+
+def test_minor_variant_oracles():
+    """naive_zerofier / slow_square / iterative_batch_evaluate /
+    lagrange_interpolate_zipped / into_coefficients match their fast
+    counterparts (polynomial.rs:401-423, :1549-1562, :1876-1878, :2482-2488)."""
+    rng = np.random.default_rng(11)
+    domain = [bfe(int(v)) for v in rng.integers(1, P, size=9, dtype=np.uint64)]
+    assert Polynomial.naive_zerofier(domain) == Polynomial.zerofier(domain)
+    p = Polynomial([bfe(int(v)) for v in rng.integers(0, P, size=17, dtype=np.uint64)])
+    assert p.slow_square() == p.square()
+    pts = [bfe(int(v)) for v in rng.integers(0, P, size=5, dtype=np.uint64)]
+    assert p.iterative_batch_evaluate(pts) == p.batch_evaluate(pts)
+    values = [bfe(int(v)) for v in rng.integers(0, P, size=9, dtype=np.uint64)]
+    zipped = Polynomial.lagrange_interpolate_zipped(list(zip(domain, values)))
+    assert zipped == Polynomial.lagrange_interpolate(domain, values)
+    with pytest.raises(PolynomialError):
+        Polynomial.lagrange_interpolate_zipped([])
+    with pytest.raises(PolynomialError):
+        Polynomial.lagrange_interpolate_zipped(
+            [(domain[0], values[0]), (domain[0], values[1])])
+    assert Polynomial([bfe(1), bfe(2), bfe(0)]).into_coefficients() == [bfe(1), bfe(2)]

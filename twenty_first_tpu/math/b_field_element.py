@@ -150,6 +150,10 @@ class BFieldElement:
         r = self.raw_u64()
         return [(r >> (16 * i)) & 0xFFFF for i in range(4)]
 
+    def raw_u128(self) -> int:
+        """Montgomery representative widened (b_field_element.rs:409-411)."""
+        return self.raw_u64()
+
     @classmethod
     def from_raw_u16s(cls, chunks: Iterable[int]) -> "BFieldElement":
         chunks = list(chunks)

@@ -390,6 +390,11 @@ class Polynomial:
             return _obj(self._c[i], self._x)
         return self._field_zero()
 
+    def into_coefficients(self) -> list:
+        """Normalized (trailing-zero-free) coefficient objects
+        (polynomial.rs:211-214; ownership transfer is a no-op here)."""
+        return _objs_from_array(self.to_array(), self._x)
+
     def __eq__(self, other):
         if not isinstance(other, Polynomial):
             return NotImplemented
@@ -532,6 +537,13 @@ class Polynomial:
 
     def fast_square(self) -> "Polynomial":
         return self.fast_multiply(self)
+
+    def slow_square(self) -> "Polynomial":
+        """O(n^2) squaring oracle (polynomial.rs:401-423): 2·c_i·c_j cross
+        terms plus c_i^2 diagonal; used to cross-check the fast path."""
+        if self.degree() < 0:
+            return Polynomial.zero()
+        return self.naive_multiply(self)
 
     def pow(self, exponent: int) -> "Polynomial":
         if exponent == 0:
@@ -847,6 +859,15 @@ class Polynomial:
         return Polynomial.fast_zerofier(domain)
 
     @staticmethod
+    def naive_zerofier(domain: Sequence) -> "Polynomial":
+        """Fold of linear factors (x - r) oracle (polynomial.rs:2482-2488)."""
+        pts, x = _to_field_array(domain)
+        result = Polynomial.one()
+        for r in _objs_from_array(pts, x):
+            result = result * Polynomial([-r, type(r).one()])
+        return result
+
+    @staticmethod
     def smart_zerofier(domain: Sequence) -> "Polynomial":
         """Incremental O(n^2) construction, vectorized inner loop
         (polynomial.rs:1462-1474)."""
@@ -888,6 +909,11 @@ class Polynomial:
         return _obj(out, self._x or px)
 
     evaluate_in_same_field = evaluate
+
+    def iterative_batch_evaluate(self, domain: Sequence) -> list:
+        """Point-by-point Horner oracle (polynomial.rs:1876-1878); used to
+        cross-check the divide-and-conquer path."""
+        return [self.evaluate(p) for p in domain]
 
     def batch_evaluate(self, domain: Sequence) -> list:
         """Evaluate on many points (polynomial.rs:1840-1894): reduce-then-
@@ -947,6 +973,23 @@ class Polynomial:
         return Polynomial.fast_interpolate(domain, values)
 
     par_interpolate = interpolate
+
+    @staticmethod
+    def lagrange_interpolate_zipped(points: Sequence) -> "Polynomial":
+        """Interpolate through (x, y) pairs (polynomial.rs:1549-1562);
+        rejects empty input and repeated x values."""
+        if len(points) == 0:
+            raise PolynomialError(
+                "interpolation must happen through more than zero points")
+        xs = [p[0] for p in points]
+        ys = [p[1] for p in points]
+        seen = set()
+        for x in xs:
+            key = str(x)
+            if key in seen:
+                raise PolynomialError(f"repeated x values received: {x}")
+            seen.add(key)
+        return Polynomial.lagrange_interpolate(xs, ys)
 
     @staticmethod
     def lagrange_interpolate(domain: Sequence, values: Sequence) -> "Polynomial":

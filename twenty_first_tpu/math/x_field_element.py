@@ -246,6 +246,9 @@ def as_flat_list(xfes) -> list[BFieldElement]:
     return [c for x in xfes for c in x.coefficients]
 
 
+as_flat_slice = as_flat_list  # reference name (x_field_element.rs:236)
+
+
 def xfe(value) -> XFieldElement:
     """Shorthand constructor mirroring the reference's `xfe!` macro."""
     if isinstance(value, XFieldElement):

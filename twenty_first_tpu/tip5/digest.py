@@ -153,9 +153,10 @@ class DigestCorruptor:
     all be zero)."""
 
     def __init__(self, indices: list[int], deltas: list):
-        assert len(indices) == len(deltas)
-        assert any(not bfe(d).is_zero() for d in deltas), \
-            "corruption must corrupt"
+        if len(indices) != len(deltas):
+            raise ValueError("indices and deltas must have equal length")
+        if all(bfe(d).is_zero() for d in deltas):
+            raise ValueError("corruption must corrupt")
         self.indices = list(indices)
         self.deltas = [bfe(d) for d in deltas]
 
@@ -164,3 +165,15 @@ class DigestCorruptor:
         for i, d in zip(self.indices, self.deltas):
             values[i] = values[i] + d
         return Digest(values)
+
+    def corrupt_digest(self, digest: Digest) -> Digest:
+        """Reference-style corruption (digest.rs:312-322): REPLACE the
+        elements at the chosen indices; reject corruption that does not
+        change the digest."""
+        values = list(digest.values())
+        for i, d in zip(self.indices, self.deltas):
+            values[i] = d
+        corrupted = Digest(values)
+        if corrupted == digest:
+            raise ValueError("corruption must change digest")
+        return corrupted

@@ -245,6 +245,15 @@ class MerkleTreeInclusionProof:
         except MerkleTreeError:
             return False
 
+    def try_verify(self, expected_root: Digest) -> None:
+        """Like verify, but raising a typed error with the failure cause
+        (merkle_tree.rs:736-745)."""
+        if self.is_trivial():
+            return
+        tree = PartialMerkleTree.from_proof(self)  # raises MerkleTreeError
+        if tree.root() != expected_root:
+            raise MerkleTreeError("root mismatch")
+
     def into_authentication_paths(self) -> list[list[Digest]]:
         """Decompress into one authentication path per indicated leaf
         (merkle_tree.rs:773-776, :861-887)."""
