@@ -24,9 +24,18 @@ is 1.0 against the empty published set. A persistent XLA compilation cache
 import functools
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+_T0 = time.time()
+
+
+def _p(msg):
+    """Progress marker on stderr (stdout stays the single JSON line)."""
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def main():
@@ -92,6 +101,7 @@ def main():
             o = ntt.four_step_ntt_traceable(o, log_n, False, (dlo, dhi))
         return jnp.sum(o[0], dtype=jnp.uint32) + jnp.sum(o[1], dtype=jnp.uint32)
 
+    _p("headline ntt start")
     t_ntt = timed_chain(ntt_chain, (lo, hi, diag[0], diag[1]), 1, 3)
     ntt_elems_per_s = n / t_ntt
     extras[f"ntt_2^{log_n}_s"] = t_ntt
@@ -111,7 +121,8 @@ def main():
             return (jnp.sum(o[0], dtype=jnp.uint32)
                     + jnp.sum(o[1], dtype=jnp.uint32))
 
-        t_xntt = timed_chain(xntt_chain, (xlo, xhi, xdiag[0], xdiag[1]), 1, 3)
+        _p("xfe ntt start")
+        t_xntt = timed_chain(xntt_chain, (xlo, xhi, xdiag[0], xdiag[1]), 1, 9)
         extras[f"xfe_ntt_2^{xlog}_s"] = t_xntt
 
     # --- device batch inversion 2^20 (reference benches/inverses.rs) -------
@@ -127,7 +138,8 @@ def main():
             return (jnp.sum(o[0], dtype=jnp.uint32)
                     + jnp.sum(o[1], dtype=jnp.uint32))
 
-        t_inv = timed_chain(inv_chain, (ilo, ihi), 1, 3)
+        _p("batch inversion start")
+        t_inv = timed_chain(inv_chain, (ilo, ihi), 1, 9)
         extras["batch_inversion_2^20_s"] = t_inv
 
     # --- device xfe multiply 2^20 (reference benches/various_muls.rs) ------
@@ -147,6 +159,7 @@ def main():
             return (jnp.sum(o[0], dtype=jnp.uint32)
                     + jnp.sum(o[1], dtype=jnp.uint32))
 
+        _p("xfe mul start")
         t_xmul = timed_chain(xmul_chain, (alo, ahi, blo, bhi), 1, 9)
         extras["xfe_mul_2^20_per_s"] = (1 << 20) / t_xmul
 
@@ -164,6 +177,7 @@ def main():
             return (jnp.sum(o[0], dtype=jnp.uint32)
                     + jnp.sum(o[1], dtype=jnp.uint32))
 
+        _p("tip5 perm start")
         t_perm = timed_chain(perm_chain, (slo, shi), 1, 17)
         extras["tip5_permutations_per_s"] = batch / t_perm
         extras["tip5_hash_10_batch_65536_s"] = t_perm  # 1 permutation each
@@ -189,7 +203,8 @@ def main():
                 (jnp.zeros((), jnp.uint32), jnp.zeros((), jnp.uint32)))
             return o[0] + o[1]
 
-        t_varlen = timed_chain(varlen_chain, (vlo, vhi), 1, 3)
+        _p("tip5 varlen start")
+        t_varlen = timed_chain(varlen_chain, (vlo, vhi), 1, 9)
         extras["tip5_hash_varlen_16386_s"] = t_varlen / rows
 
     # --- Merkle commit heights 16 / 20 (in-graph layered reduction) --------
@@ -213,7 +228,8 @@ def main():
                     (jnp.zeros((), jnp.uint32), jnp.zeros((), jnp.uint32)))
                 return o[0] + o[1]
 
-            t_merkle = timed_chain(merkle_chain, (llo, lhi), 1, 3, reps=2)
+            _p(f"merkle {height} start")
+            t_merkle = timed_chain(merkle_chain, (llo, lhi), 1, 5, reps=3)
             extras[f"merkle_2^{height}_commit_s"] = t_merkle
 
     # --- Merkle auth-structure open + verify (host path) -------------------
@@ -229,6 +245,7 @@ def main():
             proof = tree.inclusion_proof_for_leaf_indices(indices)
             assert proof.verify(tree.root())
 
+        _p("merkle auth start")
         extras["merkle_2^10_auth_open_verify_s"] = timed_host(open_and_verify)
 
     # --- polynomial suite (host object API over vectorized arrays) ---------
@@ -241,6 +258,7 @@ def main():
             rng.integers(0, p, size=deg + 1, dtype=np.uint64))
         pb = Polynomial.from_array(
             rng.integers(0, p, size=deg + 1, dtype=np.uint64))
+        _p("poly suite start")
         extras["poly_multiply_deg_2^14_s"] = timed_host(
             lambda: pa.fast_multiply(pb))
 
@@ -271,6 +289,7 @@ def main():
         points = [bfe(int(v)) for v in
                   np.unique(rng.integers(1, p, size=1 << 10,
                                          dtype=np.uint64))[: 1 << 9]]
+        _p("coset extrapolate start")
         extras["poly_coset_extrapolate_2^18_to_2^9_s"] = timed_host(
             lambda: Polynomial.coset_extrapolate(bfe(7), codeword, points),
             reps=1)
@@ -283,6 +302,7 @@ def main():
         ps = Polynomial.from_array(
             rng.integers(0, p, size=1 << 14, dtype=np.uint64))
         alpha = bfe(1234567891011)
+        _p("poly scale start")
         extras["poly_scale_2^14_s"] = timed_host(lambda: ps.scale(alpha))
         extras["poly_scalar_mul_2^14_s"] = timed_host(
             lambda: ps.scalar_mul(alpha))
@@ -300,6 +320,7 @@ def main():
             shared, ct = lattice.enc(pk, seed)
             assert lattice.dec(sk, ct) == shared
 
+        _p("kem start")
         extras["kem_roundtrip_s"] = timed_host(kem_roundtrip)
 
     # --- codec roundtrip -----------------------------------------------------
@@ -316,8 +337,10 @@ def main():
             assert vec_codec.decode(vec_codec.encode(vec)) == vec
             assert enc is not None
 
+        _p("codec start")
         extras["codec_roundtrip_2^10_s"] = timed_host(codec_roundtrip)
 
+    _p("done; emitting")
     result = {
         "metric": f"ntt_2^{log_n}_goldilocks_elems_per_s_per_chip",
         "value": ntt_elems_per_s,

@@ -302,7 +302,7 @@ def _ntt_core_ax2(x, log_n: int, inverse: bool):
     lo, hi = x
     lo = jnp.take(lo, perm, axis=-2)
     hi = jnp.take(hi, perm, axis=-2)
-    return gf.canon(_ntt_stages_ax2((lo, hi), log_n, inverse))
+    return _ntt_stages_ax2((lo, hi), log_n, inverse, canon_out=True)
 
 
 @functools.lru_cache(maxsize=None)
@@ -356,19 +356,132 @@ def _ntt_stages_ax2_tw(st, log_n: int, inverse: bool, twl, twh):
     return st
 
 
-def _ntt_stages_ax2(st, log_n: int, inverse: bool):
+def _ntt_stages_ax2(st, log_n: int, inverse: bool, canon_out: bool = False):
     """Butterfly stages of the axis(-2) core on BIT-REVERSED input; lazy
-    (non-canonical) output. Shared by the XLA path and the Pallas kernels."""
+    (non-canonical) output unless ``canon_out`` folds the final
+    canonicalization into the last butterfly layer's fusion (saving the
+    standalone canon pass over HBM). Shared by the XLA path and the Pallas
+    kernels.
+
+    Consecutive radix-4 layers run PAIRED in "piece" form (_r4_pair_pieces):
+    XLA:TPU does not fuse `concatenate`, so a stack-assembled layer costs two
+    materialized passes (the multi-output butterfly fusion + the interleave
+    concat). Keeping the four butterfly outputs as separate piece tensors
+    through the next layer — whose butterfly inputs are strided row-slices of
+    the pieces, which DO fuse — and reassembling with ONE concat per pair
+    drops a pair's cost from 4 materialized passes to 3 (measured on v5e at
+    the 2^24 four-step local-pass shape: 6.20 ms -> 4.46 ms; runs of three
+    layers / 64 pieces measured slower than pairs)."""
     _, plan = _device_tables_mixed(log_n, inverse)
     n = st[0].shape[-2]
-    for kind, tabs, m, trivial in plan:
+    if _USE_PIECES and n >= 256:
+        i = 0
+        while i < len(plan):
+            kind, tabs, m, trivial = plan[i]
+            if (kind == "r4" and i + 1 < len(plan) and plan[i + 1][0] == "r4"):
+                st = _r4_pair_pieces(st, plan[i], plan[i + 1], n, inverse)
+                i += 2
+                continue
+            if kind == "r2":
+                st = _radix2_first_ax2(st, n)
+            elif kind == "r4":
+                st = _radix4_true_ax2(st, tabs, m, n, inverse, trivial=trivial)
+            else:
+                st = _radix8_true_ax2(st, tabs, m, n, inverse,
+                                      trivial=trivial)
+            i += 1
+        return gf.canon(st) if canon_out else st
+    for idx, (kind, tabs, m, trivial) in enumerate(plan):
+        last = canon_out and idx == len(plan) - 1
         if kind == "r2":
-            st = _radix2_first_ax2(st, n)
+            st = _radix2_first_ax2(st, n, canon_out=last)
         elif kind == "r4":
-            st = _radix4_true_ax2(st, tabs, m, n, inverse, trivial=trivial)
+            st = _radix4_true_ax2(st, tabs, m, n, inverse, trivial=trivial,
+                                  canon_out=last)
         else:
-            st = _radix8_true_ax2(st, tabs, m, n, inverse, trivial=trivial)
+            st = _radix8_true_ax2(st, tabs, m, n, inverse, trivial=trivial,
+                                  canon_out=last)
     return st
+
+
+# Piece-paired radix-4 layers (see _ntt_stages_ax2 docstring). Measured a
+# wash on v5e in the real four-step composition (tight interleaved A/B at
+# the 2^24 local-pass shape: stock 4.29 ms min / 5.38 med, pieces 4.57 min /
+# 5.35 med) — the butterfly passes are ALU-bound, not concat-bound, so
+# saving the per-layer interleave materialization does not pay. Kept
+# correct + opt-in for re-measurement on other hardware.
+_USE_PIECES = os.environ.get("TWENTY_FIRST_TPU_NTT_PIECES", "0") == "1"
+
+# DIF four-step: replaces the two per-pass bit-reverse input gathers with
+# one final combined un-reverse gather (see four_step_ntt_traceable).
+_USE_DIF = os.environ.get("TWENTY_FIRST_TPU_NTT_DIF", "0") == "1"
+
+
+def _r4_butterfly_parts(a, b, c, d, tq, inverse: bool):
+    """The radix-4 DIT combine on four equal-shape limb pairs; tq is either
+    None (trivial: all twiddles 1) or ((tlo, thi), ...) broadcast-ready."""
+    if tq is None:
+        u1, u2, u3 = c, b, d
+    else:
+        u1 = gf.mul_lazy(c, tq[0])
+        u2 = gf.mul_lazy(b, tq[1])
+        u3 = gf.mul_lazy(d, tq[2])
+    e0 = gf.add_lazy(a, u2)
+    e1 = gf.sub_lazy(a, u2)
+    o0 = gf.add_lazy(u1, u3)
+    o1 = gf.mul_by_i_lazy(gf.sub_lazy(u1, u3), inverse)
+    return (gf.add_lazy(e0, o0), gf.add_lazy(e1, o1),
+            gf.sub_lazy(e0, o0), gf.sub_lazy(e1, o1))
+
+
+def _r4_pair_pieces(st, layer_a, layer_b, n, inverse: bool):
+    """Two consecutive radix-4 layers with the intermediate interleave never
+    materialized. Layer A emits four piece tensors (logical block offset
+    q*m); layer B's butterfly inputs are strided row-slices of each piece,
+    and its 16 outputs are reassembled by a single concatenate."""
+    _, tabs_a, m0, trivial_a = layer_a
+    _, tabs_b, m1, _ = layer_b
+    assert m1 == 4 * m0
+    lo, hi = st
+    batch = lo.shape[:-2]
+    w = lo.shape[-1]
+
+    def view(x, blocks, m):
+        return x.reshape(batch + (blocks, 4, m, w))
+
+    def tw(pair, lo_idx, hi_idx):
+        return (jnp.asarray(pair[0][lo_idx:hi_idx])[:, None],
+                jnp.asarray(pair[1][lo_idx:hi_idx])[:, None])
+
+    # layer A: (R0, 4, m0) blocks -> four pieces of shape (R0, m0)
+    r0 = n // (4 * m0)
+    la, ha = view(lo, r0, m0), view(hi, r0, m0)
+    abcd = [(la[..., q, :, :], ha[..., q, :, :]) for q in range(4)]
+    tq_a = None if trivial_a else tuple(
+        tw(t, 0, m0) for t in tabs_a)
+    pieces = _r4_butterfly_parts(*abcd, tq_a, inverse)
+
+    # layer B: per piece q1, butterfly inputs are row-groups [q::4] of the
+    # piece; twiddle slice is t[q1*m0:(q1+1)*m0]. Outputs keyed (q_out, q1).
+    r1 = r0 // 4
+    out = [None] * 16
+    for q1, piece in enumerate(pieces):
+        plo = piece[0].reshape(batch + (r1, 4, m0, w))
+        phi = piece[1].reshape(batch + (r1, 4, m0, w))
+        abcd = [(plo[..., q, :, :], phi[..., q, :, :]) for q in range(4)]
+        tq_b = tuple(tw(t, q1 * m0, (q1 + 1) * m0) for t in tabs_b)
+        ys = _r4_butterfly_parts(*abcd, tq_b, inverse)
+        for q_out, y in enumerate(ys):
+            out[q_out * 4 + q1] = y
+
+    # ONE concat: interleave the 16 pieces as (R1, 16, m0) -> (n,)
+    out_shape = batch + (n, w)
+    return (
+        jnp.concatenate([y[0][..., :, None, :, :] for y in out],
+                        axis=-3).reshape(out_shape),
+        jnp.concatenate([y[1][..., :, None, :, :] for y in out],
+                        axis=-3).reshape(out_shape),
+    )
 
 
 def _tw_ax2(tw):
@@ -382,7 +495,7 @@ def _tw_ax2(tw):
     return lo[:, None], hi[:, None]
 
 
-def _radix2_first_ax2(x, n):
+def _radix2_first_ax2(x, n, canon_out: bool = False):
     """First radix-2 stage (m=1): its only twiddle is 1, so it is mul-free."""
     lo, hi = x
     batch = lo.shape[:-2]
@@ -394,6 +507,8 @@ def _radix2_first_ax2(x, n):
     v = (lo[..., 1, :], hi[..., 1, :])
     top = gf.add_lazy(u, v)
     bot = gf.sub_lazy(u, v)
+    if canon_out:
+        top, bot = gf.canon(top), gf.canon(bot)
     out_shape = batch + (n, w)
     return (
         jnp.stack([top[0], bot[0]], axis=-2).reshape(out_shape),
@@ -401,7 +516,8 @@ def _radix2_first_ax2(x, n):
     )
 
 
-def _radix8_true_ax2(x, tabs, m, n, inverse: bool, trivial: bool):
+def _radix8_true_ax2(x, tabs, m, n, inverse: bool, trivial: bool,
+                     canon_out: bool = False):
     """True radix-8 DIT butterfly over blocks of 8m (axis -2).
 
     Scaled-DIT factorization: with t_j = omega_{8m}^j, pre-scale
@@ -454,6 +570,8 @@ def _radix8_true_ax2(x, tabs, m, n, inverse: bool, trivial: bool):
         gf.sub_lazy(wv[0], wv[4]), gf.sub_lazy(wv[1], s5),
         gf.sub_lazy(wv[2], s6), gf.sub_lazy(wv[3], s7),
     ]
+    if canon_out:
+        y = [gf.canon(p) for p in y]
     out_shape = batch + (n, w)
     return (
         jnp.stack([p[0] for p in y], axis=-3).reshape(out_shape),
@@ -461,7 +579,8 @@ def _radix8_true_ax2(x, tabs, m, n, inverse: bool, trivial: bool):
     )
 
 
-def _radix4_true_ax2(x, tq, m, n, inverse: bool, trivial: bool):
+def _radix4_true_ax2(x, tq, m, n, inverse: bool, trivial: bool,
+                     canon_out: bool = False):
     """True radix-4 DIT butterfly over blocks of 4m (see module comment).
 
     With t_j = omega_{4m}^j the composition of the two radix-2 stages
@@ -497,6 +616,8 @@ def _radix4_true_ax2(x, tq, m, n, inverse: bool, trivial: bool):
     y2 = gf.sub_lazy(e0, o0)
     y1 = gf.add_lazy(e1, o1)
     y3 = gf.sub_lazy(e1, o1)
+    if canon_out:
+        y0, y1, y2, y3 = (gf.canon(y) for y in (y0, y1, y2, y3))
     out_shape = batch + (n, w)
     return (
         jnp.stack([y0[0], y1[0], y2[0], y3[0]], axis=-3).reshape(out_shape),
@@ -543,8 +664,12 @@ def _four_step_split(log_n: int) -> tuple[int, int]:
 
 
 @functools.lru_cache(maxsize=None)
-def _four_step_diag_host(log_n: int, inverse: bool) -> tuple[np.ndarray, np.ndarray]:
-    """Diagonal twiddles w^(j1*k2) as an (n2, n1) uint32 limb pair."""
+def _four_step_diag_host(log_n: int, inverse: bool, dif: bool = False
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Diagonal twiddles w^(j1*k2) as an (n2, n1) uint32 limb pair.
+
+    With ``dif`` the rows are bit-reverse permuted to match the DIF first
+    pass, whose physical row r holds k2 = bitrev(r)."""
     from . import gf_numpy as gfn
 
     log_n1, log_n2 = _four_step_split(log_n)
@@ -557,13 +682,17 @@ def _four_step_diag_host(log_n: int, inverse: bool) -> tuple[np.ndarray, np.ndar
     out[0] = 1
     for k2 in range(1, n2):
         out[k2] = gfn.mul(out[k2 - 1], j1)
+    if dif:
+        out = out[_bit_reverse_permutation(log_n2)]
     return ((out & np.uint64(0xFFFF_FFFF)).astype(np.uint32),
             (out >> np.uint64(32)).astype(np.uint32))
 
 
 @functools.lru_cache(maxsize=None)
-def _four_step_diag_device(log_n: int, inverse: bool):
-    lo, hi = _four_step_diag_host(log_n, inverse)
+def _four_step_diag_device(log_n: int, inverse: bool, dif: bool | None = None):
+    if dif is None:
+        dif = _USE_DIF
+    lo, hi = _four_step_diag_host(log_n, inverse, dif)
     return jnp.asarray(lo), jnp.asarray(hi)
 
 
@@ -578,7 +707,7 @@ _SLAB_MIN_ELEMS = 1 << 22
 
 
 def _local_pass(x, log_len: int, inverse: bool, diag=None, post_const=None,
-                transpose_in: bool = False):
+                transpose_in: bool = False, dif: bool = False):
     """NTT over axis -2 of (..., n, w) limb planes, slab-mapped over the lane
     axis when the matrix is large. Optionally fuses a pointwise multiply by
     ``diag`` ((n, w) limb planes) and/or by a python-int ``post_const`` into
@@ -598,10 +727,11 @@ def _local_pass(x, log_len: int, inverse: bool, diag=None, post_const=None,
             out = gf.mul_const(out, post_const)
         return out
 
+    core = _ntt_core_ax2_dif if dif else _ntt_core_ax2
     if w % _SLAB or lo.size < _SLAB_MIN_ELEMS:
         if transpose_in:
             lo, hi = jnp.swapaxes(lo, -1, -2), jnp.swapaxes(hi, -1, -2)
-        return finish(_ntt_core_ax2((lo, hi), log_len, inverse))
+        return finish(core((lo, hi), log_len, inverse))
     nslab = w // _SLAB
 
     def to_slabs(a):
@@ -625,7 +755,7 @@ def _local_pass(x, log_len: int, inverse: bool, diag=None, post_const=None,
         if transpose_in:
             slo = jnp.swapaxes(slo, -1, -2)
             shi = jnp.swapaxes(shi, -1, -2)
-        out = _ntt_core_ax2((slo, shi), log_len, inverse)
+        out = core((slo, shi), log_len, inverse)
         if diag is not None:
             out = gf.mul(out, (args[2], args[3]))
         if post_const is not None:
@@ -634,6 +764,117 @@ def _local_pass(x, log_len: int, inverse: bool, diag=None, post_const=None,
 
     olo, ohi = jax.lax.map(body, tuple(operands))
     return from_slabs(olo), from_slabs(ohi)
+
+
+# -- DIF (Gentleman-Sande) stages: natural-order input, bit-reversed output,
+# NO input gather. Used by the DIF four-step (one final combined un-reverse
+# gather instead of two per-pass input gathers) and by NTT-domain
+# convolution paths, where the bit-reversed intermediate order cancels
+# entirely (pointwise products are order-agnostic and the DIT stages accept
+# bit-reversed input without a gather).
+
+
+def _radix4_dif_ax2(x, tq, m, n, inverse: bool, trivial: bool,
+                    canon_out: bool = False):
+    """Radix-4 DIF butterfly at stride m over axis -2 (blocks of 4m).
+
+    Transpose of the DIT butterfly with the same (t, t2, t3) tables. The
+    DIT butterfly reads its q-indexed inputs from slots (0, 2, 1, 3); the
+    DIF adjoint therefore WRITES its q-indexed outputs to slots (0, 2, 1, 3):
+        s0 = a + c, s1 = b + d, d0 = a - c, d1 = i*(b - d)
+        slot0 = s0 + s1         (q=0)
+        slot1 = (s0 - s1) * t2  (q=2)
+        slot2 = (d0 + d1) * t   (q=1)
+        slot3 = (d0 - d1) * t3  (q=3)
+    """
+    lo, hi = x
+    batch = lo.shape[:-2]
+    w = lo.shape[-1]
+    shape = batch + (n // (4 * m), 4, m, w)
+    lo = lo.reshape(shape)
+    hi = hi.reshape(shape)
+    a = (lo[..., 0, :, :], hi[..., 0, :, :])
+    b = (lo[..., 1, :, :], hi[..., 1, :, :])
+    c = (lo[..., 2, :, :], hi[..., 2, :, :])
+    d = (lo[..., 3, :, :], hi[..., 3, :, :])
+    s0 = gf.add_lazy(a, c)
+    s1 = gf.add_lazy(b, d)
+    d0 = gf.sub_lazy(a, c)
+    d1 = gf.mul_by_i_lazy(gf.sub_lazy(b, d), inverse)
+    y0 = gf.add_lazy(s0, s1)
+    y1 = gf.sub_lazy(s0, s1)
+    y2 = gf.add_lazy(d0, d1)
+    y3 = gf.sub_lazy(d0, d1)
+    if not trivial:
+        t, t2, t3 = (_tw_ax2(v) for v in tq)
+        y1 = gf.mul_lazy(y1, t2)
+        y2 = gf.mul_lazy(y2, t)
+        y3 = gf.mul_lazy(y3, t3)
+    if canon_out:
+        y0, y1, y2, y3 = (gf.canon(y) for y in (y0, y1, y2, y3))
+    out_shape = batch + (n, w)
+    return (
+        jnp.stack([y0[0], y1[0], y2[0], y3[0]], axis=-3).reshape(out_shape),
+        jnp.stack([y0[1], y1[1], y2[1], y3[1]], axis=-3).reshape(out_shape),
+    )
+
+
+def _radix2_last_dif_ax2(x, n, canon_out: bool = False):
+    """Mul-free radix-2 DIF stage at m=1 (odd stage counts end with it)."""
+    lo, hi = x
+    batch = lo.shape[:-2]
+    w = lo.shape[-1]
+    shape = batch + (n // 2, 2, w)
+    lo = lo.reshape(shape)
+    hi = hi.reshape(shape)
+    u = (lo[..., 0, :], hi[..., 0, :])
+    v = (lo[..., 1, :], hi[..., 1, :])
+    top = gf.add_lazy(u, v)
+    bot = gf.sub_lazy(u, v)
+    if canon_out:
+        top, bot = gf.canon(top), gf.canon(bot)
+    out_shape = batch + (n, w)
+    return (
+        jnp.stack([top[0], bot[0]], axis=-2).reshape(out_shape),
+        jnp.stack([top[1], bot[1]], axis=-2).reshape(out_shape),
+    )
+
+
+def _ntt_stages_ax2_dif(st, log_n: int, inverse: bool,
+                        canon_out: bool = False):
+    """DIF butterfly stages on NATURAL-order axis(-2) input; output in
+    bit-reversed order. Same (t, t2, t3) tables as the DIT plan, processed
+    in reverse (m descending)."""
+    _, plan = _device_tables_mixed(log_n, inverse, radix8=False)
+    n = st[0].shape[-2]
+    rev = list(reversed(plan))
+    for idx, (kind, tabs, m, trivial) in enumerate(rev):
+        last = canon_out and idx == len(rev) - 1
+        if kind == "r2":
+            st = _radix2_last_dif_ax2(st, n, canon_out=last)
+        else:
+            st = _radix4_dif_ax2(st, tabs, m, n, inverse, trivial,
+                                 canon_out=last)
+    return st
+
+
+def _ntt_core_ax2_dif(x, log_n: int, inverse: bool):
+    """Axis(-2) NTT core, DIF variant: NO input gather; canonical output in
+    BIT-REVERSED order along axis -2."""
+    return _ntt_stages_ax2_dif(x, log_n, inverse, canon_out=True)
+
+
+@functools.lru_cache(maxsize=None)
+def _four_step_unreverse_idx(log_n: int) -> np.ndarray:
+    """Flat int32 gather index mapping the DIF four-step's physical output
+    Z[r1, r2] = X[bitrev(r1), bitrev(r2)] back to natural order: position
+    k = k2 + n2*k1 reads flat Z index bitrev(k1)*n2 + bitrev(k2)."""
+    log_n1, log_n2 = _four_step_split(log_n)
+    n1, n2 = 1 << log_n1, 1 << log_n2
+    r1 = _bit_reverse_permutation(log_n1).astype(np.int64)
+    r2 = _bit_reverse_permutation(log_n2).astype(np.int64)
+    idx = (r1[:, None] * n2 + r2[None, :]).reshape(-1)
+    return idx.astype(np.int32)
 
 
 def four_step_ntt_traceable(x, log_n: int, inverse: bool, diag):
@@ -654,6 +895,19 @@ def four_step_ntt_traceable(x, log_n: int, inverse: bool, diag):
     batch = lo.shape[:-1]
     lo = lo.reshape(batch + (n2, n1))
     hi = hi.reshape(batch + (n2, n1))
+    if _USE_DIF:
+        # DIF passes: no input gathers; output lands bit-reversed on BOTH
+        # matrix axes; ONE combined flat gather restores natural order.
+        # `diag` must come from _four_step_diag_device with dif=True
+        # (bit-reverse-permuted rows).
+        y = _local_pass((lo, hi), log_n2, inverse, diag=diag, dif=True)
+        n_inv = pow(1 << log_n, P - 2, P) if inverse else None
+        z = _local_pass(y, log_n1, inverse, post_const=n_inv,
+                        transpose_in=True, dif=True)
+        idx = _four_step_unreverse_idx(log_n)
+        zlo = jnp.take(z[0].reshape(batch + (n1 * n2,)), idx, axis=-1)
+        zhi = jnp.take(z[1].reshape(batch + (n1 * n2,)), idx, axis=-1)
+        return zlo, zhi
     # column NTTs (over j2 = axis -2, lanes = n1) -> Y[k2, j1], fused with
     # the diagonal twiddle w^(j1*k2), laid out (n2, n1) to match Y
     y = _local_pass((lo, hi), log_n2, inverse, diag=diag)

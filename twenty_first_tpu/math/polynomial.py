@@ -40,7 +40,15 @@ FAST_INTERPOLATE_CUTOFF_THRESHOLD_PARALLEL = 1 << 8
 FAST_ZEROFIER_CUTOFF_THRESHOLD = 100
 # polynomial.rs:724-734
 FAST_MODULAR_COSET_INTERPOLATE_CUTOFF_THRESHOLD_PREFER_LAGRANGE = 1 << 8
-FAST_MODULAR_COSET_INTERPOLATE_CUTOFF_THRESHOLD_PREFER_INTT = 1 << 17
+# The reference crosses from iNTT to the even/odd recursion at 2^17
+# (polynomial.rs:731-734) because BOTH branches run on the same compiled
+# CPU backend there. Here the iNTT branch is a device NTT (sub-millisecond
+# far past 2^17) while the recursion is host-orchestrated Python — its
+# crossover against the device branch is far beyond any practical codeword
+# length (measured at 2^18: recursion 327 s vs iNTT < 1 s). The recursion
+# is implemented and tested (test_polynomial.py) but only dispatched above
+# this TPU-calibrated threshold.
+FAST_MODULAR_COSET_INTERPOLATE_CUTOFF_THRESHOLD_PREFER_INTT = 1 << 26
 FAST_COSET_EXTRAPOLATE_THRESHOLD = 100
 CLEAN_DIVIDE_CUTOFF = 1 << 9
 FAST_REDUCE_CUTOFF_THRESHOLD = 1 << 8

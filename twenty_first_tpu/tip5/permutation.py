@@ -222,16 +222,42 @@ def hash_varlen_padded(padded):
     lo, hi = padded
     batch = lo.shape[:-1]
     total = lo.shape[-1]
+    k = total // RATE
     state = (
         jnp.zeros(batch + (STATE_SIZE,), _U32),
         jnp.zeros(batch + (STATE_SIZE,), _U32),
     )
-    for start in range(0, total, RATE):
-        state = (
-            jnp.concatenate([lo[..., start:start + RATE], state[0][..., RATE:]], -1),
-            jnp.concatenate([hi[..., start:start + RATE], state[1][..., RATE:]], -1),
-        )
-        state = permutation(state)
+    if k <= 8:
+        # short inputs: unroll (fuses fully, no scan-carry overhead)
+        for start in range(0, total, RATE):
+            state = (
+                jnp.concatenate(
+                    [lo[..., start:start + RATE], state[0][..., RATE:]], -1),
+                jnp.concatenate(
+                    [hi[..., start:start + RATE], state[1][..., RATE:]], -1),
+            )
+            state = permutation(state)
+        return state[0][..., :5], state[1][..., :5]
+
+    # long inputs: lax.scan over absorption chunks — ONE compiled permutation
+    # body instead of k unrolled copies (a 2^14-word input unrolls ~1.6k
+    # permutations otherwise, a multi-minute XLA compile)
+    chunks_lo = jnp.moveaxis(lo.reshape(batch + (k, RATE)), -2, 0)
+    chunks_hi = jnp.moveaxis(hi.reshape(batch + (k, RATE)), -2, 0)
+    # derive the zero state from the input so its sharding/varying type
+    # matches the scan body output under shard_map
+    zero = lo[..., :1] * jnp.uint32(0)
+    state = (state[0] + zero, state[1] + zero)
+
+    def body(st, xs):
+        clo, chi = xs
+        st = permutation((
+            jnp.concatenate([clo, st[0][..., RATE:]], -1),
+            jnp.concatenate([chi, st[1][..., RATE:]], -1),
+        ))
+        return st, None
+
+    state, _ = jax.lax.scan(body, state, (chunks_lo, chunks_hi))
     return state[0][..., :5], state[1][..., :5]
 
 
