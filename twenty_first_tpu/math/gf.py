@@ -20,6 +20,9 @@ Pallas TPU kernels (they only use elementwise jnp ops).
 
 from __future__ import annotations
 
+import contextlib
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -225,9 +228,53 @@ def reduce128(x0, x1, x2, x3):
     return _canon(t2)
 
 
+def mul_u32(a, b):
+    """Pure 2xu32 modular multiply (any u64 residues in, canonical out).
+
+    This is the Pallas-safe implementation (Mosaic has no 64-bit integers);
+    the default `mul` dispatches to the packed-u64 variant outside Pallas."""
+    return reduce128(*mul64_wide(a, b))
+
+
+# ---------------------------------------------------------------------------
+# Multiply backend dispatch: packed-u64 vs pure-u32 limbs
+#
+# On an ISOLATED multiply chain XLA:TPU's own 64-bit integer emulation
+# (jax_enable_x64 + packed u64 planes) measures ~2x faster than the explicit
+# 16-bit digit products of mul64_wide (scripts/x64_mul_probe.py: 32.4G vs
+# 16.2G mul/s at 2^22). Inside the real kernels it is a WASH or a loss
+# (interleaved medians, v5e: 2^24 four-step NTT 11.18 vs 11.23 ms; Tip5
+# batch permutation 3.23 vs 2.80 ms) — the pack/unpack boundary ops and the
+# 32<->64-bit register relayouts erase the win once the multiplies sit
+# inside an already-fused u32 op soup, and u64 add/sub/shift ops measured
+# strictly slower than the limb forms (full-u64 NTT: 17.2 ms). The
+# dispatch is kept as an opt-in experiment (TWENTY_FIRST_TPU_W64_MUL=1);
+# Pallas kernels must force the u32 path regardless (Mosaic has no 64-bit
+# ints) by wrapping their body in `with gf.u32_ops():`.
+# ---------------------------------------------------------------------------
+
+_MUL_W64 = os.environ.get("TWENTY_FIRST_TPU_W64_MUL", "0") == "1"
+
+
+@contextlib.contextmanager
+def u32_ops():
+    """Force pure-u32 limb implementations within this trace context
+    (required inside Pallas kernel bodies)."""
+    global _MUL_W64
+    prev = _MUL_W64
+    _MUL_W64 = False
+    try:
+        yield
+    finally:
+        _MUL_W64 = prev
+
+
 def mul(a, b):
     """Modular multiplication. Inputs may be any u64 residues; output canonical."""
-    return reduce128(*mul64_wide(a, b))
+    if _MUL_W64:
+        from . import gf64
+        return gf64.unpack(gf64.mul(gf64.pack(a), gf64.pack(b)))
+    return mul_u32(a, b)
 
 
 # ---------------------------------------------------------------------------
@@ -274,9 +321,17 @@ def reduce128_lazy(x0, x1, x2, x3):
     )
 
 
+def mul_lazy_u32(a, b):
+    """Pure 2xu32 lazy multiply (Pallas-safe; see mul_u32)."""
+    return reduce128_lazy(*mul64_wide(a, b))
+
+
 def mul_lazy(a, b):
     """Modular multiply: arbitrary u64 residues in, u64 residue out."""
-    return reduce128_lazy(*mul64_wide(a, b))
+    if _MUL_W64:
+        from . import gf64
+        return gf64.unpack(gf64.mul_lazy(gf64.pack(a), gf64.pack(b)))
+    return mul_lazy_u32(a, b)
 
 
 def add_lazy(a, b):

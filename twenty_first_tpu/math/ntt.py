@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from . import gf
+from . import gf64
 from . import gf_numpy as gfn
 from .b_field_element import PRIMITIVE_ROOTS, P
 
@@ -402,6 +403,194 @@ def _ntt_stages_ax2(st, log_n: int, inverse: bool, canon_out: bool = False):
             st = _radix8_true_ax2(st, tabs, m, n, inverse, trivial=trivial,
                                   canon_out=last)
     return st
+
+
+# -- native-u64 (w64) stage core ---------------------------------------------
+#
+# Same true-radix-4 lazy butterflies as the u32 limb-plane core, on single
+# uint64 planes (math/gf64.py), leaning on XLA's own 64-bit integer
+# emulation (jax_enable_x64). MEASURED SLOWER on v5e: 17.2 ms at 2^24 vs
+# ~11 ms for the limb-plane core — the u64 multiply emulation wins on an
+# isolated chain (scripts/x64_mul_probe.py, 2x), but u64 add/sub/compare
+# emulation is slower than the explicit limb carry fixups, and the
+# emulated-64-bit gathers/stacks relayout worse than two u32 planes.
+# Kept opt-in (TWENTY_FIRST_TPU_NTT_W64=1) as a documented experiment;
+# bit-exact vs the host oracle at 2^17/2^18/2^20.
+
+_USE_W64 = os.environ.get("TWENTY_FIRST_TPU_NTT_W64", "0") == "1"
+
+
+@functools.lru_cache(maxsize=None)
+def _device_tables_r4_w64(log_n: int, inverse: bool):
+    """Radix-4 stage plan with host-numpy uint64 twiddle tables.
+
+    Entries: ("r2", None, 1, True) or ("r4", (t, t2, t3), m, trivial).
+    Tables are small (sum 3*(4^k) < n elements) and safe to close over as
+    trace constants."""
+    n = 1 << log_n
+    root = PRIMITIVE_ROOTS[n]
+    if inverse:
+        root = pow(root, P - 2, P)
+    plan = []
+    s = 0
+    if log_n % 2 == 1:
+        plan.append(("r2", None, 1, True))
+        s = 1
+    while s < log_n:
+        m = 1 << s
+        w = pow(root, n // (4 * m), P)
+        t1 = gfn.powers(w, m)
+        t2 = gfn.mul(t1, t1)
+        t3 = gfn.mul(t2, t1)
+        plan.append(("r4", (t1, t2, t3), m, m == 1))
+        s += 2
+    return _bit_reverse_permutation(log_n), tuple(plan)
+
+
+def _radix2_first_ax2_w64(x, n, canon_out: bool = False):
+    """First radix-2 stage (m=1, mul-free) on a single u64 plane, axis -2."""
+    batch = x.shape[:-2]
+    w = x.shape[-1]
+    v = x.reshape(batch + (n // 2, 2, w))
+    u, vv = v[..., 0, :], v[..., 1, :]
+    top = gf64.add_lazy(u, vv)
+    bot = gf64.sub_lazy(u, vv)
+    if canon_out:
+        top, bot = gf64.canon(top), gf64.canon(bot)
+    return jnp.stack([top, bot], axis=-2).reshape(batch + (n, w))
+
+
+def _radix4_true_ax2_w64(x, tq, m, n, inverse: bool, trivial: bool,
+                         canon_out: bool = False):
+    """True radix-4 DIT butterfly on a single u64 plane (axis -2).
+
+    Identical math to _radix4_true_ax2 (see its docstring)."""
+    batch = x.shape[:-2]
+    w = x.shape[-1]
+    v = x.reshape(batch + (n // (4 * m), 4, m, w))
+    a, b, c, d = (v[..., q, :, :] for q in range(4))
+    if trivial:
+        u1, u2, u3 = c, b, d
+    else:
+        t, t2, t3 = (jnp.asarray(tt)[:, None] for tt in tq)
+        u1 = gf64.mul_lazy(c, t)
+        u2 = gf64.mul_lazy(b, t2)
+        u3 = gf64.mul_lazy(d, t3)
+    e0 = gf64.add_lazy(a, u2)
+    e1 = gf64.sub_lazy(a, u2)
+    o0 = gf64.add_lazy(u1, u3)
+    o1 = gf64.mul_by_i_lazy(gf64.sub_lazy(u1, u3), inverse)
+    y0 = gf64.add_lazy(e0, o0)
+    y2 = gf64.sub_lazy(e0, o0)
+    y1 = gf64.add_lazy(e1, o1)
+    y3 = gf64.sub_lazy(e1, o1)
+    if canon_out:
+        y0, y1, y2, y3 = (gf64.canon(y) for y in (y0, y1, y2, y3))
+    return jnp.stack([y0, y1, y2, y3], axis=-3).reshape(batch + (n, w))
+
+
+def _ntt_stages_ax2_w64(x, log_n: int, inverse: bool,
+                        canon_out: bool = False):
+    """Butterfly stages on BIT-REVERSED (..., n, w) u64 input; lazy output
+    unless canon_out folds the final canonicalization into the last layer."""
+    _, plan = _device_tables_r4_w64(log_n, inverse)
+    n = x.shape[-2]
+    for idx, (kind, tabs, m, trivial) in enumerate(plan):
+        last = canon_out and idx == len(plan) - 1
+        if kind == "r2":
+            x = _radix2_first_ax2_w64(x, n, canon_out=last)
+        else:
+            x = _radix4_true_ax2_w64(x, tabs, m, n, inverse, trivial=trivial,
+                                     canon_out=last)
+    return x
+
+
+def _ntt_core_ax2_w64(x, log_n: int, inverse: bool, canon_out: bool = False):
+    """NTT over axis -2 of a (..., n, w) u64 plane; LAZY output by default
+    (the four-step keeps everything lazy until the very end)."""
+    perm, _ = _device_tables_r4_w64(log_n, inverse)
+    x = jnp.take(x, perm, axis=-2)
+    return _ntt_stages_ax2_w64(x, log_n, inverse, canon_out=canon_out)
+
+
+def _local_pass_w64(x, log_len: int, inverse: bool, diag=None,
+                    post_const=None, transpose_in: bool = False,
+                    canon_out: bool = False):
+    """u64 mirror of _local_pass: slab-mapped NTT over axis -2 with the
+    diagonal / 1-n-scaling multiplies fused into the same pass. All values
+    stay LAZY between passes; `canon_out` canonicalizes once at the end."""
+    w = x.shape[-1] if not transpose_in else x.shape[-2]
+
+    def run(v, d):
+        if transpose_in:
+            v = jnp.swapaxes(v, -1, -2)
+        out = _ntt_core_ax2_w64(v, log_len, inverse,
+                                canon_out=canon_out and d is None
+                                and post_const is None)
+        if d is not None:
+            out = gf64.mul_lazy(out, d)
+        if post_const is not None:
+            out = gf64.mul_const_lazy(out, post_const)
+        if canon_out and (d is not None or post_const is not None):
+            out = gf64.canon(out)
+        return out
+
+    if w % _SLAB or x.size < _SLAB_MIN_ELEMS:
+        return run(x, diag)
+    nslab = w // _SLAB
+
+    def to_slabs(a):
+        if transpose_in:
+            a = a.reshape(a.shape[:-2] + (nslab, _SLAB) + a.shape[-1:])
+            return jnp.moveaxis(a, -3, 0)  # (nslab, ..., _SLAB, n)
+        a = a.reshape(a.shape[:-1] + (nslab, _SLAB))
+        return jnp.moveaxis(a, -2, 0)  # (nslab, ..., n, _SLAB)
+
+    operands = [to_slabs(x)]
+    if diag is not None:
+        operands.append(to_slabs(diag))
+
+    def body(args):
+        return run(args[0], args[1] if diag is not None else None)
+
+    out = jax.lax.map(body, tuple(operands))
+    out = jnp.moveaxis(out, 0, -2)
+    return out.reshape(out.shape[:-2] + (w,))
+
+
+@functools.lru_cache(maxsize=None)
+def _four_step_diag_device_w64(log_n: int, inverse: bool):
+    lo, hi = _four_step_diag_host(log_n, inverse, False)
+    return jnp.asarray(lo.astype(np.uint64) | (hi.astype(np.uint64) << 32))
+
+
+def four_step_ntt_w64(x, log_n: int, inverse: bool, diag):
+    """Four-step NTT over the last axis of a (..., n) u64 plane.
+
+    Same structure as four_step_ntt_traceable's DIT path: column NTTs fused
+    with the diagonal twiddle, then row NTTs with the transpose riding the
+    slab map. Everything between the first gather and the final butterfly
+    layer stays in lazy (non-canonical) residues."""
+    log_n1, log_n2 = _four_step_split(log_n)
+    n1, n2 = 1 << log_n1, 1 << log_n2
+    batch = x.shape[:-1]
+    x = x.reshape(batch + (n2, n1))
+    y = _local_pass_w64(x, log_n2, inverse, diag=diag)
+    n_inv = pow(1 << log_n, P - 2, P) if inverse else None
+    z = _local_pass_w64(y, log_n1, inverse, post_const=n_inv,
+                        transpose_in=True, canon_out=True)
+    return z.reshape(batch + (n1 * n2,))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_four_step_w64(log_n: int, inverse: bool):
+    @jax.jit
+    def run(lo, hi, diag):
+        out = four_step_ntt_w64(gf64.pack((lo, hi)), log_n, inverse, diag)
+        olo, ohi = gf64.unpack(out)
+        return olo, ohi
+
+    return run
 
 
 # Piece-paired radix-4 layers (see _ntt_stages_ax2 docstring). Measured a
@@ -893,6 +1082,13 @@ def four_step_ntt_traceable(x, log_n: int, inverse: bool, diag):
     log_n1, log_n2 = _four_step_split(log_n)
     n1, n2 = 1 << log_n1, 1 << log_n2
     batch = lo.shape[:-1]
+    if _USE_W64 and not _USE_DIF:
+        # native-u64 core: pack the planes (fuses into the first gather),
+        # run the same four-step on one u64 plane, unpack at the end.
+        d64 = diag if not isinstance(diag, tuple) else gf64.pack(
+            (diag[0].reshape(n2, n1), diag[1].reshape(n2, n1)))
+        out = four_step_ntt_w64(gf64.pack((lo, hi)), log_n, inverse, d64)
+        return gf64.unpack(out)
     lo = lo.reshape(batch + (n2, n1))
     hi = hi.reshape(batch + (n2, n1))
     if _USE_DIF:
@@ -1114,6 +1310,9 @@ def ntt_limbs(x, inverse: bool = False):
         return _jitted_three_step(log_n, inverse)(
             lo, hi, t1[0], t1[1], diag[0], diag[1])
     if log_n >= FOUR_STEP_THRESHOLD_LOG2:
+        if _USE_W64 and not _USE_DIF:
+            diag = _four_step_diag_device_w64(log_n, inverse)
+            return _jitted_four_step_w64(log_n, inverse)(lo, hi, diag)
         diag = _four_step_diag_device(log_n, inverse)
         return _jitted_four_step(log_n, inverse)(lo, hi, diag[0], diag[1])
     return _jitted_ntt(log_n, inverse)(lo, hi)

@@ -70,13 +70,15 @@ def fused_local_pass(x, log_t: int, inverse: bool, post_const: int | None = None
     tw_spec = pl.BlockSpec(twl.shape, lambda b, i: (0, 0))
 
     def kernel(lo_ref, hi_ref, twl_ref, twh_ref, olo_ref, ohi_ref):
-        st = (lo_ref[0], hi_ref[0])
-        st = ntt_mod._ntt_stages_ax2_tw(st, log_t, inverse,
-                                        twl_ref[...], twh_ref[...])
-        if post_const is not None:
-            olo, ohi = gf.mul_const(gf.canon(st), post_const)
-        else:
-            olo, ohi = gf.canon(st)
+        # Mosaic has no 64-bit ints: force the pure-u32 limb multiply path
+        with gf.u32_ops():
+            st = (lo_ref[0], hi_ref[0])
+            st = ntt_mod._ntt_stages_ax2_tw(st, log_t, inverse,
+                                            twl_ref[...], twh_ref[...])
+            if post_const is not None:
+                olo, ohi = gf.mul_const(gf.canon(st), post_const)
+            else:
+                olo, ohi = gf.canon(st)
         olo_ref[0] = olo
         ohi_ref[0] = ohi
 

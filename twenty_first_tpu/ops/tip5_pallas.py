@@ -101,13 +101,15 @@ def _mds(lo, hi, taps):
 
 def _permutation_kernel(lo_ref, hi_ref, taps_ref, rc_lo_ref, rc_hi_ref,
                         out_lo_ref, out_hi_ref):
-    lo = lo_ref[...]
-    hi = hi_ref[...]
-    taps = taps_ref[...]
-    for r in range(NUM_ROUNDS):
-        lo, hi = _sbox(lo, hi)
-        lo, hi = _mds(lo, hi, taps)
-        lo, hi = gf.add((lo, hi), (rc_lo_ref[r], rc_hi_ref[r]))
+    # Mosaic has no 64-bit ints: force the pure-u32 limb multiply path
+    with gf.u32_ops():
+        lo = lo_ref[...]
+        hi = hi_ref[...]
+        taps = taps_ref[...]
+        for r in range(NUM_ROUNDS):
+            lo, hi = _sbox(lo, hi)
+            lo, hi = _mds(lo, hi, taps)
+            lo, hi = gf.add((lo, hi), (rc_lo_ref[r], rc_hi_ref[r]))
     out_lo_ref[...] = lo
     out_hi_ref[...] = hi
 
@@ -217,14 +219,16 @@ _COL_SCALARS = [np.uint32(c) for c in MDS_MATRIX_FIRST_COLUMN]
 
 def _dense_kernel(lo_ref, hi_ref, rc_lo_ref, rc_hi_ref, out_lo_ref,
                   out_hi_ref):
-    lo = lo_ref[...]
-    hi = hi_ref[...]
-    lane = jax.lax.broadcasted_iota(jnp.uint32, lo.shape, dimension=1)
-    word_lt4 = (lane >> 3) < 4
-    for r in range(NUM_ROUNDS):
-        lo, hi = _dense_sbox(lo, hi, word_lt4)
-        lo, hi = _dense_mds(lo, hi, _COL_SCALARS)
-        lo, hi = gf.add((lo, hi), (rc_lo_ref[r], rc_hi_ref[r]))
+    # Mosaic has no 64-bit ints: force the pure-u32 limb multiply path
+    with gf.u32_ops():
+        lo = lo_ref[...]
+        hi = hi_ref[...]
+        lane = jax.lax.broadcasted_iota(jnp.uint32, lo.shape, dimension=1)
+        word_lt4 = (lane >> 3) < 4
+        for r in range(NUM_ROUNDS):
+            lo, hi = _dense_sbox(lo, hi, word_lt4)
+            lo, hi = _dense_mds(lo, hi, _COL_SCALARS)
+            lo, hi = gf.add((lo, hi), (rc_lo_ref[r], rc_hi_ref[r]))
     out_lo_ref[...] = lo
     out_hi_ref[...] = hi
 
