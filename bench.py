@@ -64,18 +64,33 @@ def main():
         return budget - (time.time() - t_start)
 
     def timed_chain(fn, args, k_lo, k_hi, reps=3):
-        """min over reps of t(k_hi)-t(k_lo), divided by (k_hi-k_lo)."""
-        for k in (k_lo, k_hi):  # compile both variants
-            int(fn(*args, k=k))
-        lows, highs = [], []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            int(fn(*args, k=k_lo))
-            lows.append(time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            int(fn(*args, k=k_hi))
-            highs.append(time.perf_counter() - t0)
-        return (min(highs) - min(lows)) / (k_hi - k_lo)
+        """min over reps of t(k_hi)-t(k_lo), divided by (k_hi-k_lo).
+
+        Tunnel dispatch noise can exceed the device time of cheap kernels,
+        making the difference go negative; in that case widen the k spread
+        (more device work per call, same constant overhead) and retry, and
+        as a last resort report min(t_hi)/k_hi — an upper bound, never a
+        negative artifact."""
+        def measure(k_lo, k_hi, reps):
+            for k in (k_lo, k_hi):  # compile both variants
+                int(fn(*args, k=k))
+            lows, highs = [], []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                int(fn(*args, k=k_lo))
+                lows.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                int(fn(*args, k=k_hi))
+                highs.append(time.perf_counter() - t0)
+            return (min(highs) - min(lows)) / (k_hi - k_lo), min(highs)
+        est, t_hi = measure(k_lo, k_hi, reps)
+        if est <= 0 and remaining() > 60:
+            k_hi2 = k_lo + 4 * (k_hi - k_lo)
+            est, t_hi = measure(k_lo, k_hi2, reps)
+            k_hi = k_hi2
+        if est <= 0:
+            est = t_hi / k_hi
+        return est
 
     def timed_host(fn, reps=3):
         best = float("inf")
@@ -105,132 +120,6 @@ def main():
     t_ntt = timed_chain(ntt_chain, (lo, hi, diag[0], diag[1]), 1, 3)
     ntt_elems_per_s = n / t_ntt
     extras[f"ntt_2^{log_n}_s"] = t_ntt
-
-    # --- xfe NTT 2^18 (reference benches/ntt.rs xfe rows) -------------------
-    if remaining() > 90:
-        xlog = 18
-        xdata = rng.integers(0, p, size=(3, 1 << xlog), dtype=np.uint64)
-        xlo, xhi = (jax.device_put(v) for v in gf.to_limbs(xdata))
-        xdiag = ntt._four_step_diag_device(xlog, False)
-
-        @functools.partial(jax.jit, static_argnames=("k",))
-        def xntt_chain(a, b, dlo, dhi, k):
-            o = (a, b)
-            for _ in range(k):
-                o = ntt.four_step_ntt_traceable(o, xlog, False, (dlo, dhi))
-            return (jnp.sum(o[0], dtype=jnp.uint32)
-                    + jnp.sum(o[1], dtype=jnp.uint32))
-
-        _p("xfe ntt start")
-        t_xntt = timed_chain(xntt_chain, (xlo, xhi, xdiag[0], xdiag[1]), 1, 9)
-        extras[f"xfe_ntt_2^{xlog}_s"] = t_xntt
-
-    # --- device batch inversion 2^20 (reference benches/inverses.rs) -------
-    if remaining() > 90:
-        inv_vals = rng.integers(1, p, size=1 << 20, dtype=np.uint64)
-        ilo, ihi = (jax.device_put(v) for v in gf.to_limbs(inv_vals))
-
-        @functools.partial(jax.jit, static_argnames=("k",))
-        def inv_chain(a, b, k):
-            def body(i, st):
-                return gf.batch_inversion(st)
-            o = jax.lax.fori_loop(0, k, body, (a, b))
-            return (jnp.sum(o[0], dtype=jnp.uint32)
-                    + jnp.sum(o[1], dtype=jnp.uint32))
-
-        _p("batch inversion start")
-        t_inv = timed_chain(inv_chain, (ilo, ihi), 1, 9)
-        extras["batch_inversion_2^20_s"] = t_inv
-
-    # --- device xfe multiply 2^20 (reference benches/various_muls.rs) ------
-    if remaining() > 90:
-        from twenty_first_tpu.math import gf_ext
-
-        xa = rng.integers(0, p, size=(3, 1 << 20), dtype=np.uint64)
-        xb = rng.integers(0, p, size=(3, 1 << 20), dtype=np.uint64)
-        alo, ahi = (jax.device_put(v) for v in gf.to_limbs(xa))
-        blo, bhi = (jax.device_put(v) for v in gf.to_limbs(xb))
-
-        @functools.partial(jax.jit, static_argnames=("k",))
-        def xmul_chain(al, ah, bl, bh, k):
-            def body(i, st):
-                return gf_ext.mul(st, (bl, bh))
-            o = jax.lax.fori_loop(0, k, body, (al, ah))
-            return (jnp.sum(o[0], dtype=jnp.uint32)
-                    + jnp.sum(o[1], dtype=jnp.uint32))
-
-        _p("xfe mul start")
-        t_xmul = timed_chain(xmul_chain, (alo, ahi, blo, bhi), 1, 9)
-        extras["xfe_mul_2^20_per_s"] = (1 << 20) / t_xmul
-
-    # --- Tip5 permutation / hash_10 / hash_pair throughput ------------------
-    if remaining() > 120:
-        batch = 1 << 16  # the reference's parallel bench batch (tip5.rs)
-        states = rng.integers(0, p, size=(batch, 16), dtype=np.uint64)
-        slo, shi = (jax.device_put(v) for v in gf.to_limbs(states))
-
-        @functools.partial(jax.jit, static_argnames=("k",))
-        def perm_chain(a, b, k):
-            def body(i, st):
-                return tip5_dev.permutation(st)
-            o = jax.lax.fori_loop(0, k, body, (a, b))
-            return (jnp.sum(o[0], dtype=jnp.uint32)
-                    + jnp.sum(o[1], dtype=jnp.uint32))
-
-        _p("tip5 perm start")
-        t_perm = timed_chain(perm_chain, (slo, shi), 1, 17)
-        extras["tip5_permutations_per_s"] = batch / t_perm
-        extras["tip5_hash_10_batch_65536_s"] = t_perm  # 1 permutation each
-        extras["tip5_hash_pair_per_s"] = batch / t_perm
-
-    # --- Tip5 hash_varlen (length 16386, reference bench shape) ------------
-    if remaining() > 90:
-        rows = 64
-        data = rng.integers(0, p, size=(rows, 16386), dtype=np.uint64)
-        padded = np.zeros((rows, 16390), dtype=np.uint64)
-        padded[:, :16386] = data
-        padded[:, 16386] = 1
-        vlo, vhi = (jax.device_put(v) for v in gf.to_limbs(padded))
-
-        @functools.partial(jax.jit, static_argnames=("k",))
-        def varlen_chain(a, b, k):
-            def body(i, acc):
-                o = tip5_dev.hash_varlen_padded((a, b))
-                return (acc[0] + jnp.sum(o[0], dtype=jnp.uint32),
-                        acc[1] + jnp.sum(o[1], dtype=jnp.uint32))
-            o = jax.lax.fori_loop(
-                0, k, body,
-                (jnp.zeros((), jnp.uint32), jnp.zeros((), jnp.uint32)))
-            return o[0] + o[1]
-
-        _p("tip5 varlen start")
-        t_varlen = timed_chain(varlen_chain, (vlo, vhi), 1, 9)
-        extras["tip5_hash_varlen_16386_s"] = t_varlen / rows
-
-    # --- Merkle commit heights 16 / 20 (in-graph layered reduction) --------
-    if remaining() > 90:
-        from twenty_first_tpu.parallel import dist_merkle
-
-        for height in (16, 20):
-            if remaining() < 60:
-                break
-            leafs = rng.integers(0, p, size=(1 << height, 5), dtype=np.uint64)
-            llo, lhi = (jax.device_put(v) for v in gf.to_limbs(leafs))
-
-            @functools.partial(jax.jit, static_argnames=("k",))
-            def merkle_chain(a, b, k, height=height):
-                def body(i, acc):
-                    r = dist_merkle._reduce_layers((a, b), height)
-                    return (acc[0] + jnp.sum(r[0], dtype=jnp.uint32),
-                            acc[1] + jnp.sum(r[1], dtype=jnp.uint32))
-                o = jax.lax.fori_loop(
-                    0, k, body,
-                    (jnp.zeros((), jnp.uint32), jnp.zeros((), jnp.uint32)))
-                return o[0] + o[1]
-
-            _p(f"merkle {height} start")
-            t_merkle = timed_chain(merkle_chain, (llo, lhi), 1, 5, reps=3)
-            extras[f"merkle_2^{height}_commit_s"] = t_merkle
 
     # --- Merkle auth-structure open + verify (host path) -------------------
     if remaining() > 60:
@@ -339,6 +228,158 @@ def main():
 
         _p("codec start")
         extras["codec_roundtrip_2^10_s"] = timed_host(codec_roundtrip)
+
+    # --- Tip5 permutation / hash_10 / hash_pair throughput ------------------
+    if remaining() > 120:
+        batch = 1 << 16  # the reference's parallel bench batch (tip5.rs)
+        states = rng.integers(0, p, size=(batch, 16), dtype=np.uint64)
+        slo, shi = (jax.device_put(v) for v in gf.to_limbs(states))
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def perm_chain(a, b, k):
+            def body(i, st):
+                return tip5_dev.permutation(st)
+            o = jax.lax.fori_loop(0, k, body, (a, b))
+            return (jnp.sum(o[0], dtype=jnp.uint32)
+                    + jnp.sum(o[1], dtype=jnp.uint32))
+
+        _p("tip5 perm start")
+        t_perm = timed_chain(perm_chain, (slo, shi), 1, 17)
+        extras["tip5_permutations_per_s"] = batch / t_perm
+        extras["tip5_hash_10_batch_65536_s"] = t_perm  # 1 permutation each
+        extras["tip5_hash_pair_per_s"] = batch / t_perm
+
+    # --- Merkle commit heights 16 / 20 (in-graph layered reduction) --------
+    if remaining() > 90:
+        from twenty_first_tpu.parallel import dist_merkle
+
+        for height in (16, 20):
+            if remaining() < 60:
+                break
+            leafs = rng.integers(0, p, size=(1 << height, 5), dtype=np.uint64)
+            llo, lhi = (jax.device_put(v) for v in gf.to_limbs(leafs))
+
+            @functools.partial(jax.jit, static_argnames=("k",))
+            def merkle_chain(a, b, k, height=height):
+                def body(i, acc):
+                    r = dist_merkle._reduce_layers((a, b), height)
+                    return (acc[0] + jnp.sum(r[0], dtype=jnp.uint32),
+                            acc[1] + jnp.sum(r[1], dtype=jnp.uint32))
+                o = jax.lax.fori_loop(
+                    0, k, body,
+                    (jnp.zeros((), jnp.uint32), jnp.zeros((), jnp.uint32)))
+                return o[0] + o[1]
+
+            _p(f"merkle {height} start")
+            t_merkle = timed_chain(merkle_chain, (llo, lhi), 1, 5, reps=3)
+            extras[f"merkle_2^{height}_commit_s"] = t_merkle
+
+    # --- STARK LDE + commit pipeline (BASELINE config 4: 2^22-row commit) --
+    if remaining() > 120:
+        from twenty_first_tpu.parallel.pipeline import trace_lde_commit
+
+        lde_log_rows = 22          # extended-domain rows (trace n = 2^20 x4)
+        lde_w = 8                  # trace columns (<= RATE)
+        tr = rng.integers(0, p, size=(lde_w, 1 << (lde_log_rows - 2)),
+                          dtype=np.uint64)
+        tlo, thi = (jax.device_put(v) for v in gf.to_limbs(tr))
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def lde_chain(a, b, k):
+            def body(i, acc):
+                r = trace_lde_commit((a, b), expansion=4)
+                return (acc[0] + jnp.sum(r[0], dtype=jnp.uint32),
+                        acc[1] + jnp.sum(r[1], dtype=jnp.uint32))
+            o = jax.lax.fori_loop(
+                0, k, body,
+                (jnp.zeros((), jnp.uint32), jnp.zeros((), jnp.uint32)))
+            return o[0] + o[1]
+
+        _p("lde commit start")
+        t_lde = timed_chain(lde_chain, (tlo, thi), 1, 3)
+        extras[f"lde_commit_2^{lde_log_rows}_rows_w{lde_w}_s"] = t_lde
+
+
+    # --- xfe NTT 2^18 (reference benches/ntt.rs xfe rows) -------------------
+    if remaining() > 90:
+        xlog = 18
+        xdata = rng.integers(0, p, size=(3, 1 << xlog), dtype=np.uint64)
+        xlo, xhi = (jax.device_put(v) for v in gf.to_limbs(xdata))
+        xdiag = ntt._four_step_diag_device(xlog, False)
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def xntt_chain(a, b, dlo, dhi, k):
+            o = (a, b)
+            for _ in range(k):
+                o = ntt.four_step_ntt_traceable(o, xlog, False, (dlo, dhi))
+            return (jnp.sum(o[0], dtype=jnp.uint32)
+                    + jnp.sum(o[1], dtype=jnp.uint32))
+
+        _p("xfe ntt start")
+        t_xntt = timed_chain(xntt_chain, (xlo, xhi, xdiag[0], xdiag[1]), 1, 9)
+        extras[f"xfe_ntt_2^{xlog}_s"] = t_xntt
+
+    # --- device batch inversion 2^20 (reference benches/inverses.rs) -------
+    if remaining() > 90:
+        inv_vals = rng.integers(1, p, size=1 << 20, dtype=np.uint64)
+        ilo, ihi = (jax.device_put(v) for v in gf.to_limbs(inv_vals))
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def inv_chain(a, b, k):
+            def body(i, st):
+                return gf.batch_inversion(st)
+            o = jax.lax.fori_loop(0, k, body, (a, b))
+            return (jnp.sum(o[0], dtype=jnp.uint32)
+                    + jnp.sum(o[1], dtype=jnp.uint32))
+
+        _p("batch inversion start")
+        t_inv = timed_chain(inv_chain, (ilo, ihi), 1, 9)
+        extras["batch_inversion_2^20_s"] = t_inv
+
+    # --- device xfe multiply 2^20 (reference benches/various_muls.rs) ------
+    if remaining() > 90:
+        from twenty_first_tpu.math import gf_ext
+
+        xa = rng.integers(0, p, size=(3, 1 << 20), dtype=np.uint64)
+        xb = rng.integers(0, p, size=(3, 1 << 20), dtype=np.uint64)
+        alo, ahi = (jax.device_put(v) for v in gf.to_limbs(xa))
+        blo, bhi = (jax.device_put(v) for v in gf.to_limbs(xb))
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def xmul_chain(al, ah, bl, bh, k):
+            def body(i, st):
+                return gf_ext.mul(st, (bl, bh))
+            o = jax.lax.fori_loop(0, k, body, (al, ah))
+            return (jnp.sum(o[0], dtype=jnp.uint32)
+                    + jnp.sum(o[1], dtype=jnp.uint32))
+
+        _p("xfe mul start")
+        t_xmul = timed_chain(xmul_chain, (alo, ahi, blo, bhi), 1, 9)
+        extras["xfe_mul_2^20_per_s"] = (1 << 20) / t_xmul
+
+    # --- Tip5 hash_varlen (length 16386, reference bench shape) ------------
+    if remaining() > 90:
+        rows = 64
+        data = rng.integers(0, p, size=(rows, 16386), dtype=np.uint64)
+        padded = np.zeros((rows, 16390), dtype=np.uint64)
+        padded[:, :16386] = data
+        padded[:, 16386] = 1
+        vlo, vhi = (jax.device_put(v) for v in gf.to_limbs(padded))
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def varlen_chain(a, b, k):
+            def body(i, acc):
+                o = tip5_dev.hash_varlen_padded((a, b))
+                return (acc[0] + jnp.sum(o[0], dtype=jnp.uint32),
+                        acc[1] + jnp.sum(o[1], dtype=jnp.uint32))
+            o = jax.lax.fori_loop(
+                0, k, body,
+                (jnp.zeros((), jnp.uint32), jnp.zeros((), jnp.uint32)))
+            return o[0] + o[1]
+
+        _p("tip5 varlen start")
+        t_varlen = timed_chain(varlen_chain, (vlo, vhi), 1, 9)
+        extras["tip5_hash_varlen_16386_s"] = t_varlen / rows
 
     _p("done; emitting")
     result = {
