@@ -278,7 +278,8 @@ def main():
     if remaining() > 120:
         from twenty_first_tpu.parallel.pipeline import trace_lde_commit
 
-        lde_log_rows = 22          # extended-domain rows (trace n = 2^20 x4)
+        # extended-domain rows (default: trace n = 2^20 x 4 = 2^22 rows)
+        lde_log_rows = int(os.environ.get("BENCH_LDE_LOG_ROWS", "22"))
         lde_w = 8                  # trace columns (<= RATE)
         tr = rng.integers(0, p, size=(lde_w, 1 << (lde_log_rows - 2)),
                           dtype=np.uint64)

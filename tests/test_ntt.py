@@ -136,3 +136,26 @@ def test_three_step_matches_oracle(log_n, inverse):
     got = gf.from_limbs(ntt._jitted_three_step(log_n, inverse)(
         *gf.to_limbs(vals), t1[0], t1[1], diag[0], diag[1]))
     assert np.array_equal(want, got)
+
+
+@pytest.mark.parametrize("log_n", [4, 10, 14])
+def test_native_cpp_ntt_is_third_oracle(log_n):
+    """The C++ scalar NTT (native/twenty_first_native.cpp gl_ntt) agrees
+    with the vectorized-numpy host oracle — an independent third
+    implementation cross-check (device / numpy / C++)."""
+    from twenty_first_tpu import native
+    from twenty_first_tpu.math.b_field_element import PRIMITIVE_ROOTS
+
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(11)
+    n = 1 << log_n
+    vals = rng.integers(0, P, size=n, dtype=np.uint64)
+    root = PRIMITIVE_ROOTS[n]
+    want = ntt.ntt_host(vals)
+    got = native.ntt_inplace(vals, root)
+    assert np.array_equal(want, got)
+    root_inv = pow(root, P - 2, P)
+    want_i = ntt.ntt_host(vals, inverse=True)
+    got_i = native.intt_inplace(vals, root_inv)
+    assert np.array_equal(want_i, got_i)

@@ -288,3 +288,24 @@ def test_minor_variant_oracles():
         Polynomial.lagrange_interpolate_zipped(
             [(domain[0], values[0]), (domain[0], values[1])])
     assert Polynomial([bfe(1), bfe(2), bfe(0)]).into_coefficients() == [bfe(1), bfe(2)]
+
+
+def test_fast_reduce_large_by_small_matches_division():
+    """Regression: deg-2^14 mod deg-2^9 through the chunked three-phase
+    fast_reduce (one pass per chunk) must equal the long-division remainder.
+    The earlier repeated-top-split form was O(n^2/d) and took minutes at
+    2^17 (fixed; see fast_reduce docstring)."""
+    rng = np.random.default_rng(23)
+    a = Polynomial.from_array(
+        rng.integers(0, P, size=1 << 14, dtype=np.uint64))
+    m = Polynomial.from_array(
+        rng.integers(0, P, size=(1 << 9) + 1, dtype=np.uint64))
+    got = a.fast_reduce(m)
+    _, want = a.naive_divide(m)
+    assert got == want
+    # extension-field numerator over base-field modulus
+    ax = Polynomial.from_array(
+        rng.integers(0, P, size=((1 << 12), 3), dtype=np.uint64), True)
+    gotx = ax.fast_reduce(m)
+    _, wantx = ax.naive_divide(m)
+    assert gotx == wantx

