@@ -155,19 +155,21 @@ class TestBatchFastInterpolate:
             assert [g.evaluate(d) for d in domain] == vals
 
     def test_memoization_shares_work(self):
-        import twenty_first_tpu.math.polynomial as pm
-
+        """One batched call shares the zerofier-tree products across all
+        value batches; B separate interpolations rebuild them B times. The
+        shared work is counted at the level-product primitive (_mul_rows),
+        which both the zerofier build and the combine phase go through."""
         domain = rand_values(64)
         batches = [rand_values(64) for _ in range(8)]
         calls = {"n": 0}
-        orig = Polynomial.zerofier
+        orig = Polynomial._mul_rows
 
-        def counting(dom):
+        def counting(a, b, x):
             calls["n"] += 1
-            return orig(dom)
+            return orig(a, b, x)
 
         try:
-            Polynomial.zerofier = staticmethod(counting)
+            Polynomial._mul_rows = staticmethod(counting)
             Polynomial.batch_fast_interpolate(domain, batches)
             shared = calls["n"]
             calls["n"] = 0
@@ -175,7 +177,7 @@ class TestBatchFastInterpolate:
                 Polynomial.fast_interpolate(domain, vals)
             individual = calls["n"]
         finally:
-            Polynomial.zerofier = staticmethod(orig)
+            Polynomial._mul_rows = staticmethod(orig)
         assert shared < individual / 4
 
     def test_empty_domain_raises(self):

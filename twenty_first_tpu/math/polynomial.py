@@ -110,6 +110,64 @@ def _fsum(arr: np.ndarray, x: bool):
     return arr[0]
 
 
+def _antidiag_sum(table: np.ndarray, x: bool) -> np.ndarray:
+    """Modular sum of the anti-diagonals of an (la, lb[, 3]) product table:
+    R[k] = sum_i table[i, k-i] — the convolution combine step.
+
+    Rows are aligned by an overlapping strided view (row stride L-1 over a
+    zero-padded (la, L) buffer shifts row i right by i), so the whole
+    combine is one pairwise _fsum fold of vectorized adds instead of one
+    numpy call per row."""
+    out = _batch_antidiag_sum(table[None], x)
+    return out[0]
+
+
+def _batch_antidiag_sum(table: np.ndarray, x: bool) -> np.ndarray:
+    """Batched anti-diagonal sum: (m, la, lb[, 3]) -> (m, la+lb-1[, 3])."""
+    m, la, lb = table.shape[0], table.shape[1], table.shape[2]
+    w = la + lb - 1
+    L = la + lb  # padded row length; stride L-1 aligns the diagonals
+    if x:
+        c = np.zeros((m, la, L, 3), dtype=np.uint64)
+        c[:, :, :lb] = table
+        flat = c.reshape(-1)
+        it = flat.strides[0]
+        v = np.lib.stride_tricks.as_strided(
+            flat, shape=(m, la, w, 3),
+            strides=(la * L * 3 * it, (L - 1) * 3 * it, 3 * it, it))
+    else:
+        c = np.zeros((m, la, L), dtype=np.uint64)
+        c[:, :, :lb] = table
+        flat = c.reshape(-1)
+        it = flat.strides[0]
+        v = np.lib.stride_tricks.as_strided(
+            flat, shape=(m, la, w),
+            strides=(la * L * it, (L - 1) * it, it))
+    # reads with k < i land in the zero padding of the previous row:
+    # flat[i*(L-1)+k] = c[i-1, L-i+k] and L-i+k >= lb for all k >= 0;
+    # row la-1's largest index (la-1)(L-1)+w-1 = (la-1)L + lb - 1 stays
+    # inside the m-block.
+    # pairwise fold over the row axis (axis 1), vectorized across batches
+    n = la
+    while n > 1:
+        half = n // 2
+        head = gfn.add(v[:, :half], v[:, half: 2 * half])
+        v = np.concatenate([head, v[:, 2 * half: n]], axis=1) \
+            if n % 2 else head
+        n = v.shape[1]
+    return v[:, 0]
+
+
+def _batch_rows_multiply(a: np.ndarray, b: np.ndarray, x: bool) -> np.ndarray:
+    """Batched small-polynomial products: (m, la[, 3]) x (m, lb[, 3]) ->
+    (m, la+lb-1[, 3]) via one outer product + anti-diagonal fold."""
+    if x:
+        table = xgf.mul(a[:, :, None, :], b[:, None, :, :])
+    else:
+        table = gfn.mul(a[:, :, None], b[:, None, :])
+    return _batch_antidiag_sum(table, x)
+
+
 def _lift3(arr: np.ndarray) -> np.ndarray:
     """(n,) base-field -> (n, 3) extension with zero high components."""
     out = np.zeros(arr.shape + (3,), dtype=np.uint64)
@@ -220,7 +278,10 @@ def _eval_many(coeffs: np.ndarray, cx: bool, points: np.ndarray, px: bool
                ) -> np.ndarray:
     """Evaluate one polynomial at many points, vectorized Horner.
 
-    coeffs: (k,[3]); points: (m,[3]); result in the wider field."""
+    coeffs: (k,[3]); points: (m,[3]); result in the wider field.
+    Above 64 coefficients the Horner runs BLOCKED (chunks of ~sqrt(k)
+    evaluated simultaneously, then combined with powers of p^blk):
+    ~4*sqrt(k) numpy calls instead of 2k, same values."""
     x = cx or px
     c = _lift3(coeffs) if (x and not cx) else coeffs
     z = _lift3(points) if (x and not px) else points
@@ -228,10 +289,35 @@ def _eval_many(coeffs: np.ndarray, cx: bool, points: np.ndarray, px: bool
     k = _trimmed_len(c)
     if k == 0:
         return _zeros(m, x)
-    acc = np.broadcast_to(c[k - 1], z.shape).copy()
-    for i in range(k - 2, -1, -1):
-        acc = gfn.add(_fmul(acc, z, x), np.broadcast_to(c[i], z.shape))
-    return acc
+    c = c[:k]
+    if k <= 64:
+        acc = np.broadcast_to(c[k - 1], z.shape).copy()
+        for i in range(k - 2, -1, -1):
+            acc = gfn.add(_fmul(acc, z, x), np.broadcast_to(c[i], z.shape))
+        return acc
+    log_blk = (k.bit_length() + 1) // 2
+    blk = 1 << log_blk
+    nch = -(-k // blk)
+    if nch * blk > k:
+        c = np.concatenate([c, _zeros(nch * blk - k, x)], axis=0)
+    cc = c.reshape((nch, blk, 3) if x else (nch, blk))
+
+    def col(i):
+        v = cc[:, i][:, None, :] if x else cc[:, i][:, None]
+        return np.broadcast_to(v, acc_shape)
+
+    acc_shape = (nch,) + z.shape
+    acc = col(blk - 1).copy()
+    zz = z[None]
+    for i in range(blk - 2, -1, -1):
+        acc = gfn.add(_fmul(acc, zz, x), col(i))
+    pc = z
+    for _ in range(log_blk):
+        pc = _fmul(pc, pc, x)
+    res = acc[nch - 1]
+    for j in range(nch - 2, -1, -1):
+        res = gfn.add(_fmul(res, pc, x), acc[j])
+    return res
 
 
 def _eval_one(coeffs: np.ndarray, cx: bool, point: np.ndarray, px: bool):
@@ -507,6 +593,14 @@ class Polynomial:
         a, b = a[:la], b[:lb]
         if lb < la:
             a, b, la, lb = b, a, lb, la
+        if la * lb <= (1 << 20):
+            # one vectorized outer product + anti-diagonal fold (log la
+            # adds) instead of la per-row numpy calls
+            if x:
+                table = xgf.mul(a[:, None, :], b[None, :, :])
+            else:
+                table = gfn.mul(a[:, None], b[None, :])
+            return Polynomial.from_array(_antidiag_sum(table, x), x)
         out = _zeros(la + lb - 1, x)
         for i in range(la):
             out[i: i + lb] = gfn.add(out[i: i + lb],
@@ -868,8 +962,10 @@ class Polynomial:
     @staticmethod
     def zerofier(domain: Sequence) -> "Polynomial":
         """Unique monic polynomial vanishing exactly on `domain`
-        (polynomial.rs:1418-1441)."""
-        if len(domain) < FAST_ZEROFIER_CUTOFF_THRESHOLD:
+        (polynomial.rs:1418-1441). The reference's smart/fast cutoff
+        balances scalar Rust loops; here everything above one leaf chunk
+        routes to the batched product tree (same values)."""
+        if len(domain) <= RECURSION_CUTOFF_THRESHOLD:
             return Polynomial.smart_zerofier(domain)
         return Polynomial.fast_zerofier(domain)
 
@@ -902,14 +998,119 @@ class Polynomial:
         return Polynomial.from_array(acc, x)
 
     @staticmethod
+    def batch_smart_zerofier_rows(pts: np.ndarray, x: bool) -> np.ndarray:
+        """Zerofier coefficient rows for a BATCH of equal-length domains:
+        (L, k[, 3]) points -> (L, k+1[, 3]) monic zerofiers, with 2k
+        vectorized numpy calls total instead of 2k per domain. Feeds the
+        zerofier-tree leaf construction."""
+        nb, k = pts.shape[0], pts.shape[1]
+        acc = np.zeros((nb, k + 1, 3) if x else (nb, k + 1), dtype=np.uint64)
+        acc[:, 0] = _one_row(x)
+        for j in range(k):
+            root = pts[:, j]
+            neg = xgf.neg(root) if x else gfn.neg(root)
+            old = acc[:, : j + 1].copy()
+            scaled = _fmul(old, neg[:, None, :] if x else neg[:, None], x)
+            acc[:, 1: j + 2] = old
+            acc[:, 0] = 0
+            acc[:, : j + 1] = gfn.add(acc[:, : j + 1], scaled)
+        return acc
+
+    @staticmethod
     def fast_zerofier(domain: Sequence) -> "Polynomial":
-        """Divide and conquer with NTT multiplies (polynomial.rs:1478-1484)."""
-        if len(domain) <= RECURSION_CUTOFF_THRESHOLD:
+        """Divide and conquer (polynomial.rs:1478-1484), realized as a
+        fully-BATCHED product tree: 16-point leaf chunks built in one
+        batched incremental pass, then each tree level as one batched
+        outer-product convolution (batched NTT multiply once products get
+        large). Same values as the reference recursion."""
+        pts, x = _to_field_array(domain)
+        if pts.shape[0] <= RECURSION_CUTOFF_THRESHOLD:
             return Polynomial.smart_zerofier(domain)
-        mid = len(domain) // 2
-        left = Polynomial.fast_zerofier(domain[:mid])
-        right = Polynomial.fast_zerofier(domain[mid:])
-        return left * right
+        return Polynomial.from_array(Polynomial._zerofier_rows(pts, x), x)
+
+    @staticmethod
+    def _zerofier_rows(pts: np.ndarray, x: bool) -> np.ndarray:
+        """Zerofier coefficient row for one domain (length n+1, monic)."""
+        k = RECURSION_CUTOFF_THRESHOLD
+        n = pts.shape[0]
+        rows_by_len: dict = {}
+
+        def add(arr):
+            ln = arr.shape[1]
+            if ln in rows_by_len:
+                rows_by_len[ln] = np.concatenate([rows_by_len[ln], arr],
+                                                 axis=0)
+            else:
+                rows_by_len[ln] = arr
+
+        n_full = n // k
+        if n_full:
+            add(Polynomial.batch_smart_zerofier_rows(
+                pts[: n_full * k].reshape(
+                    (n_full, k, 3) if x else (n_full, k)), x))
+        if n % k:
+            rem = pts[n_full * k:]
+            add(Polynomial.batch_smart_zerofier_rows(
+                rem.reshape((1,) + rem.shape), x))
+        while sum(a.shape[0] for a in rows_by_len.values()) > 1:
+            new_groups: dict = {}
+
+            def add_new(arr):
+                ln = arr.shape[1]
+                if ln in new_groups:
+                    new_groups[ln] = np.concatenate([new_groups[ln], arr],
+                                                    axis=0)
+                else:
+                    new_groups[ln] = arr
+
+            singles = []
+            for ln in sorted(rows_by_len):
+                arr = rows_by_len[ln]
+                m = arr.shape[0]
+                pairs = m // 2
+                if pairs:
+                    add_new(Polynomial._mul_rows(
+                        arr[0: 2 * pairs: 2], arr[1: 2 * pairs: 2], x))
+                if m % 2:
+                    singles.append(arr[-1:])
+            while len(singles) >= 2:
+                a, b = singles.pop(), singles.pop()
+                add_new(Polynomial._mul_rows(a, b, x))
+            if singles:
+                add_new(singles[0])
+            rows_by_len = new_groups
+        return next(iter(rows_by_len.values()))[0]
+
+    @staticmethod
+    def _mul_rows(a: np.ndarray, b: np.ndarray, x: bool) -> np.ndarray:
+        """Batched products of row pairs: (m, la[,3]) * (m, lb[,3]).
+
+        Small products use one outer-product + anti-diagonal fold; large
+        ones a BATCHED NTT convolution (one transform for all m rows)."""
+        m, la, lb = a.shape[0], a.shape[1], b.shape[1]
+        if m * la * lb <= (1 << 20) or x:
+            if not x:
+                return _batch_antidiag_sum(gfn.mul(a[:, :, None],
+                                                   b[:, None, :]), False)
+            outs = [_ntt_mul_arrays(a[i], b[i], True)
+                    if la * lb > (1 << 20) else
+                    _antidiag_sum(xgf.mul(a[i][:, None, :],
+                                          b[i][None, :, :]), True)
+                    for i in range(m)]
+            return np.stack(outs, axis=0)
+        out_len = la + lb - 1
+        size = 1 << max((out_len - 1).bit_length(), 1)
+        pa = np.zeros((m, size), dtype=np.uint64)
+        pa[:, :la] = a
+        pb = np.zeros((m, size), dtype=np.uint64)
+        pb[:, :lb] = b
+        # host-numpy transforms on purpose: the row shapes here vary per
+        # tree level, and device dispatch would recompile per shape —
+        # batched host radix-2 is milliseconds at these sizes
+        fa = ntt_mod.ntt_host(pa)
+        fb = ntt_mod.ntt_host(pb)
+        prod = ntt_mod.ntt_host(gfn.mul(fa, fb), inverse=True)
+        return np.ascontiguousarray(prod[:, :out_len])
 
     par_zerofier = zerofier
 
@@ -946,7 +1147,12 @@ class Polynomial:
         m = pts.shape[0]
         if self.degree() < 0:
             return _zeros(m, self._x or px)
-        if self.degree() <= max(2 * m, RECURSION_CUTOFF_THRESHOLD):
+        # direct (blocked-Horner) evaluation is O(deg*m) element-ops; past
+        # ~2^18 of those the zerofier-tree divide-and-conquer below wins
+        # (the reference D&Cs for everything above the leaf cutoff,
+        # polynomial.rs:1840-1894 — scalar-loop economics differ here)
+        if self.degree() <= RECURSION_CUTOFF_THRESHOLD \
+                or (self.degree() + 1) * m <= (1 << 18):
             return _eval_many(self.to_array(), self._x, pts, px)
         tree = ZerofierTree.new_from_domain(
             _objs_from_array(pts, px))
@@ -1053,11 +1259,91 @@ class Polynomial:
         x = x_any
         pts_x = _lift3(pts) if (x and not px) else pts
         mats = [(_lift3(a) if (x and not vx) else a) for a, vx in batches]
+        n = pts.shape[0]
+        if batches and (not x) and n >= 2 * RECURSION_CUTOFF_THRESHOLD \
+                and n & (n - 1) == 0:
+            coeffs = Polynomial._batch_interp_pow2(pts, [a for a, _ in batches])
+            return [Polynomial.from_array(coeffs[b].copy(), False)
+                    for b in range(coeffs.shape[0])]
         zerofier_memo: dict = {}
         offset_inv_memo: dict = {}
         polys = Polynomial._batch_interp_memo(
             pts_x, x, mats, zerofier_memo, offset_inv_memo)
         return polys
+
+    @staticmethod
+    def _batch_interp_pow2(pts: np.ndarray, mats: list) -> np.ndarray:
+        """Level-synchronous (breadth-first) memoized batch interpolation
+        for power-of-two base-field domains. Identical values to the
+        recursive form (_batch_interp_memo / polynomial.rs:1703-1837), but
+        every tree level is a handful of vectorized numpy calls across ALL
+        nodes and value batches at once instead of per-node work — the
+        host-object API's analogue of the device kernels' batch-first rule.
+
+        Returns (B, n) coefficient rows."""
+        n = pts.shape[0]
+        s_leaf = RECURSION_CUTOFF_THRESHOLD
+        n_leafs = n // s_leaf
+        depth = n_leafs.bit_length() - 1  # n = s_leaf * 2^depth
+        # 1. zerofier rows for EVERY tree node, bottom-up; z[d] holds the
+        #    2^d nodes at depth d as (2^d, n/2^d + 1) rows
+        z = [None] * (depth + 1)
+        z[depth] = Polynomial.batch_smart_zerofier_rows(
+            pts.reshape(n_leafs, s_leaf), False)
+        for d in range(depth - 1, -1, -1):
+            z[d] = Polynomial._mul_rows(z[d + 1][0::2], z[d + 1][1::2],
+                                        False)
+        # 2. top-down target scaling: divide by the sibling zerofier's
+        #    values (batch-inverted once per level)
+        t = np.stack(mats, 0)  # (B, n)
+        bsz = t.shape[0]
+        for d in range(depth):
+            m = 1 << d
+            s = n // m
+            half = s // 2
+            ptsd = pts.reshape(m, s)
+            if m * half * half > _INTERP_EVAL_DC_MIN:
+                # top levels: batched Horner would be O(s^2) element-ops per
+                # node; route the few big nodes through the D&C evaluator
+                lvals = np.stack([
+                    Polynomial.from_array(z[d + 1][2 * i + 1].copy(), False)
+                    ._batch_evaluate_arr(ptsd[i, :half], False)
+                    for i in range(m)])
+                rvals = np.stack([
+                    Polynomial.from_array(z[d + 1][2 * i].copy(), False)
+                    ._batch_evaluate_arr(ptsd[i, half:], False)
+                    for i in range(m)])
+            else:
+                lvals = _horner_rows(z[d + 1][1::2], ptsd[:, :half])
+                rvals = _horner_rows(z[d + 1][0::2], ptsd[:, half:])
+            inv = _finv(np.concatenate([lvals, rvals], axis=1).reshape(-1),
+                        False).reshape(1, m, s)
+            t = gfn.mul(t.reshape(bsz, m, s), inv).reshape(bsz, n)
+        # 3. leaf Lagrange, batched across all leaves and batches
+        q, inv = _batch_lagrange_tables(pts.reshape(n_leafs, s_leaf),
+                                        z[depth])
+        w = gfn.mul(t.reshape(bsz, n_leafs, s_leaf), inv[None])
+        terms = gfn.mul(q[None], w[:, :, :, None])  # (B, M, S_pts, S_coef)
+        while terms.shape[2] > 1:
+            h = terms.shape[2] // 2
+            head = gfn.add(terms[:, :, :h], terms[:, :, h: 2 * h])
+            terms = np.concatenate([head, terms[:, :, 2 * h:]], axis=2) \
+                if terms.shape[2] % 2 else head
+        coeffs = terms[:, :, 0]  # (B, M, s_leaf)
+        # 4. bottom-up combine: node = left*right_zerofier + right*left_zerofier
+        for d in range(depth - 1, -1, -1):
+            m = 1 << d
+            ln = coeffs.shape[2]
+            lp = np.ascontiguousarray(coeffs[:, 0::2]).reshape(bsz * m, ln)
+            rp = np.ascontiguousarray(coeffs[:, 1::2]).reshape(bsz * m, ln)
+            lz = np.broadcast_to(z[d + 1][0::2][None], (bsz, m, ln + 1)
+                                 ).reshape(bsz * m, ln + 1)
+            rz = np.broadcast_to(z[d + 1][1::2][None], (bsz, m, ln + 1)
+                                 ).reshape(bsz * m, ln + 1)
+            a = Polynomial._mul_rows(lp, rz, False)
+            b = Polynomial._mul_rows(rp, lz, False)
+            coeffs = gfn.add(a, b).reshape(bsz, m, 2 * ln)
+        return coeffs[:, 0]
 
     @staticmethod
     def _batch_interp_memo(pts: np.ndarray, x: bool, mats: list,
@@ -1343,6 +1629,65 @@ class ModularInterpolationPreprocessingData:
     odd_zerofiers: list
     shift_coefficients: np.ndarray
     tail_length: int
+
+
+# crossover (element-ops) above which the top-down sibling-zerofier
+# evals in _batch_interp_pow2 route through the D&C evaluator
+_INTERP_EVAL_DC_MIN = 1 << 21
+
+
+def _horner_rows(coeffs: np.ndarray, ptsm: np.ndarray) -> np.ndarray:
+    """Row-batched Horner: evaluate polynomial row m (coeffs (M, k)) on
+    its own point row ptsm[m] ((M, t)) -> (M, t). Base field. Blocked
+    above 64 coefficients (~4*sqrt(k) numpy calls instead of 2k)."""
+    k = coeffs.shape[1]
+    if k <= 64:
+        acc = np.broadcast_to(coeffs[:, k - 1: k], ptsm.shape).copy()
+        for j in range(k - 2, -1, -1):
+            acc = gfn.add(gfn.mul(acc, ptsm), coeffs[:, j: j + 1])
+        return acc
+    nrows, t = ptsm.shape
+    log_blk = (k.bit_length() + 1) // 2
+    blk = 1 << log_blk
+    nch = -(-k // blk)
+    if nch * blk > k:
+        coeffs = np.concatenate(
+            [coeffs, np.zeros((nrows, nch * blk - k), dtype=np.uint64)],
+            axis=1)
+    cc = coeffs.reshape(nrows, nch, blk)
+    acc = np.broadcast_to(cc[:, :, blk - 1][:, :, None],
+                          (nrows, nch, t)).copy()
+    zz = ptsm[:, None, :]
+    for i in range(blk - 2, -1, -1):
+        acc = gfn.add(gfn.mul(acc, zz), cc[:, :, i][:, :, None])
+    pc = ptsm
+    for _ in range(log_blk):
+        pc = gfn.mul(pc, pc)
+    res = acc[:, nch - 1]
+    for j in range(nch - 2, -1, -1):
+        res = gfn.add(gfn.mul(res, pc), acc[:, j])
+    return res
+
+
+def _batch_lagrange_tables(ptsm: np.ndarray, zrows: np.ndarray
+                           ) -> tuple[np.ndarray, np.ndarray]:
+    """Batched Lagrange tables for M equal-size leaf domains: synthetic-
+    division quotient tensor Q[m, i, j] (coeff j of Z_m/(X - d_{m,i})) and
+    inverted denominators Q_{m,i}(d_{m,i}). Base field; the batched form
+    of _lagrange_precompute."""
+    m_, s = ptsm.shape
+    q = np.zeros((m_, s, s), dtype=np.uint64)
+    col = np.broadcast_to(zrows[:, s: s + 1], (m_, s)).copy()
+    q[:, :, s - 1] = col
+    for j in range(s - 1, 0, -1):
+        col = gfn.add(np.broadcast_to(zrows[:, j: j + 1], (m_, s)),
+                      gfn.mul(col, ptsm))
+        q[:, :, j - 1] = col
+    acc = q[:, :, s - 1].copy()
+    for j in range(s - 2, -1, -1):
+        acc = gfn.add(gfn.mul(acc, ptsm), q[:, :, j])
+    inv = _finv(acc.reshape(-1), False).reshape(m_, s)
+    return q, inv
 
 
 def _lagrange_precompute(pts: np.ndarray, x: bool

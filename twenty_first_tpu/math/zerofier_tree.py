@@ -34,18 +34,28 @@ class ZerofierTree:
 
     @classmethod
     def new_from_domain(cls, domain) -> "ZerofierTree":
-        from .polynomial import Polynomial
+        from .polynomial import Polynomial, _to_field_array
 
         if len(domain) == 0:
             return cls(None)
+        pts, x = _to_field_array(domain)
+        k = RECURSION_CUTOFF_THRESHOLD
+        n_full = pts.shape[0] // k
         nodes = []
-        for i in range(0, len(domain), RECURSION_CUTOFF_THRESHOLD):
-            chunk = list(domain[i: i + RECURSION_CUTOFF_THRESHOLD])
-            nodes.append(
-                ZerofierTreeNode(
-                    zerofier=Polynomial.zerofier(chunk), points=chunk
-                )
-            )
+        if n_full:
+            # all full leaf chunks batched: 2k vectorized calls total
+            rows = Polynomial.batch_smart_zerofier_rows(
+                pts[: n_full * k].reshape((n_full, k, 3) if x
+                                          else (n_full, k)), x)
+            for i in range(n_full):
+                chunk = list(domain[i * k: (i + 1) * k])
+                nodes.append(ZerofierTreeNode(
+                    zerofier=Polynomial.from_array(rows[i].copy(), x),
+                    points=chunk))
+        if pts.shape[0] % k:
+            chunk = list(domain[n_full * k:])
+            nodes.append(ZerofierTreeNode(
+                zerofier=Polynomial.zerofier(chunk), points=chunk))
         while len(nodes) > 1:
             next_level = []
             for i in range(0, len(nodes) - 1, 2):
