@@ -261,9 +261,12 @@ def main():
 
             @functools.partial(jax.jit, static_argnames=("k",))
             def merkle_chain(a, b, k, height=height):
+                # the input must DEPEND on the carry or XLA hoists the
+                # whole reduction out of the loop (loop-invariant code
+                # motion) and the k-chain measures one iteration
                 def body(i, acc):
-                    r = dist_merkle._reduce_layers((a, b), height)
-                    return (acc[0] + jnp.sum(r[0], dtype=jnp.uint32),
+                    r = dist_merkle._reduce_layers((a ^ acc[0], b), height)
+                    return (acc[0] ^ jnp.sum(r[0], dtype=jnp.uint32),
                             acc[1] + jnp.sum(r[1], dtype=jnp.uint32))
                 o = jax.lax.fori_loop(
                     0, k, body,
@@ -287,9 +290,10 @@ def main():
 
         @functools.partial(jax.jit, static_argnames=("k",))
         def lde_chain(a, b, k):
+            # carry-dependent input: prevents loop-invariant hoisting
             def body(i, acc):
-                r = trace_lde_commit((a, b), expansion=4)
-                return (acc[0] + jnp.sum(r[0], dtype=jnp.uint32),
+                r = trace_lde_commit((a ^ acc[0], b), expansion=4)
+                return (acc[0] ^ jnp.sum(r[0], dtype=jnp.uint32),
                         acc[1] + jnp.sum(r[1], dtype=jnp.uint32))
             o = jax.lax.fori_loop(
                 0, k, body,
@@ -369,9 +373,10 @@ def main():
 
         @functools.partial(jax.jit, static_argnames=("k",))
         def varlen_chain(a, b, k):
+            # carry-dependent input: prevents loop-invariant hoisting
             def body(i, acc):
-                o = tip5_dev.hash_varlen_padded((a, b))
-                return (acc[0] + jnp.sum(o[0], dtype=jnp.uint32),
+                o = tip5_dev.hash_varlen_padded((a ^ acc[0], b))
+                return (acc[0] ^ jnp.sum(o[0], dtype=jnp.uint32),
                         acc[1] + jnp.sum(o[1], dtype=jnp.uint32))
             o = jax.lax.fori_loop(
                 0, k, body,

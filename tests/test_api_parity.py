@@ -130,3 +130,29 @@ def test_round2_parity_shims():
     bad = Digest([bfe(7)] * 5)
     with pytest.raises(MerkleTreeError):
         proof.try_verify(bad)
+
+
+def test_digest_reversed_involution():
+    d = Digest([1, 2, 3, 4, 5])
+    assert d.reversed() == Digest([5, 4, 3, 2, 1])
+    assert d.reversed().reversed() == d
+
+
+def test_polynomial_scalar_mul_mut_and_into_owned():
+    f = Polynomial([bfe(1), bfe(2), bfe(3)])
+    f.scalar_mul_mut(bfe(2))
+    assert f == Polynomial([bfe(2), bfe(4), bfe(6)])
+    assert f.into_owned() is f
+
+
+def test_ntt_table_helpers():
+    from twenty_first_tpu.math import ntt as ntt_mod
+
+    swaps = ntt_mod.swap_indices(8)
+    # k=1 <-> 4, k=3 <-> 6; self-paired and already-swapped entries None
+    assert swaps == [None, 4, None, 6, None, None, None, None]
+    omega = BFieldElement.primitive_root_of_unity(8)
+    tables = ntt_mod.twiddle_factors(8, omega)
+    assert [len(t) for t in tables] == [1, 2, 4]
+    assert int(tables[0][0]) == 1
+    assert int(tables[2][1]) == omega.value()

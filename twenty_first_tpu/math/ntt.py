@@ -841,6 +841,36 @@ def ntt_limbs_traceable(x, inverse: bool = False):
     return out
 
 
+# -- public table helpers (reference ntt.rs:239-324 parity) -----------------
+
+
+def swap_indices(length: int) -> list:
+    """Bit-reversal swap targets, reference semantics (ntt.rs:239-284):
+    entry k is rev(k) when k < rev(k) — i.e. the pairs an in-place
+    implementation would swap — else None. The batched device path uses
+    the full permutation (one gather) instead; this helper exists for
+    API parity and host-side tooling."""
+    log_n = _check_len(length)
+    if length <= 1:
+        return [None] * length
+    rev = _bit_reverse_permutation(log_n)
+    return [int(rev[k]) if k < int(rev[k]) else None for k in range(length)]
+
+
+def twiddle_factors(slice_len: int, root_of_unity: int) -> list:
+    """Per-stage twiddle tables: stage s holds m=2^s powers of root^(n/2m)
+    (ntt.rs:309-324). `root_of_unity` is a canonical value (int or
+    BFieldElement); returns a list of numpy uint64 arrays."""
+    root = int(getattr(root_of_unity, "value", lambda: root_of_unity)())
+    log_n = _check_len(slice_len)
+    out = []
+    for s in range(log_n):
+        m = 1 << s
+        w_m = pow(root, slice_len // (2 * m), P)
+        out.append(gfn.powers(w_m, m))
+    return out
+
+
 # Above this size the four-step (Bailey) decomposition wins: two small
 # batched local transforms instead of log2(n) full-array butterfly passes —
 # far less XLA compile time and fewer HBM round trips.

@@ -579,6 +579,20 @@ class Polynomial:
         return Polynomial.from_array(
             _fmul_scalar(self._c, s, self._x), self._x)
 
+    def scalar_mul_mut(self, scalar) -> None:
+        """In-place scalar multiply (polynomial.rs:498-509). The functional
+        API is `scalar_mul`; this mutating spelling exists for drop-in
+        parity with the reference."""
+        out = self.scalar_mul(scalar)
+        self._c = out._c
+        self._x = out._x
+
+    def into_owned(self) -> "Polynomial":
+        """Reference API parity (polynomial.rs:691): the Rust type can
+        borrow its coefficients (Cow); here coefficients are always owned
+        arrays, so this returns self."""
+        return self
+
     def multiply(self, other: "Polynomial") -> "Polynomial":
         """Dispatch: schoolbook below the NTT cutoff (polynomial.rs:873-887)."""
         if self.degree() + other.degree() < FAST_MULTIPLY_CUTOFF_THRESHOLD:

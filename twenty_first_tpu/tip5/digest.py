@@ -114,6 +114,11 @@ class Digest:
 
         return Tip5.hash_pair(self, Digest.all_zero())
 
+    def reversed(self) -> "Digest":
+        """Digest with its elements in reverse order — an involutive
+        endomorphism (digest.rs:67-70)."""
+        return Digest(list(reversed(self._values)))
+
     # -- comparisons --------------------------------------------------------
 
     def _ord_key(self):
