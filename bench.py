@@ -117,7 +117,8 @@ def main():
         return jnp.sum(o[0], dtype=jnp.uint32) + jnp.sum(o[1], dtype=jnp.uint32)
 
     _p("headline ntt start")
-    t_ntt = timed_chain(ntt_chain, (lo, hi, diag[0], diag[1]), 1, 3)
+    t_ntt = timed_chain(ntt_chain, (lo, hi, diag[0], diag[1]), 1, 3,
+                        reps=6)
     ntt_elems_per_s = n / t_ntt
     extras[f"ntt_2^{log_n}_s"] = t_ntt
 
@@ -175,13 +176,23 @@ def main():
         from twenty_first_tpu.math.b_field_element import bfe
 
         codeword = rng.integers(0, p, size=1 << 18, dtype=np.uint64)
+        # 2^10 points: the reference-parity extrapolation shape
         points = [bfe(int(v)) for v in
-                  np.unique(rng.integers(1, p, size=1 << 10,
-                                         dtype=np.uint64))[: 1 << 9]]
+                  np.unique(rng.integers(1, p, size=1 << 11,
+                                         dtype=np.uint64))[: 1 << 10]]
         _p("coset extrapolate start")
-        extras["poly_coset_extrapolate_2^18_to_2^9_s"] = timed_host(
+        extras["poly_coset_extrapolate_2^18_to_2^10_s"] = timed_host(
             lambda: Polynomial.coset_extrapolate(bfe(7), codeword, points),
             reps=1)
+
+        # device barycentric form of the same workload (poly_batch):
+        # one lax.map dispatch, closed-form coset weights
+        from twenty_first_tpu.math import poly_batch
+
+        pts_arr = np.array([q.value() for q in points], dtype=np.uint64)
+        extras["device_coset_extrapolate_2^18_to_2^10_s"] = timed_host(
+            lambda: poly_batch.batch_coset_extrapolate(
+                codeword[None, :], 7, pts_arr), reps=2)
 
     # --- poly scale / scalar-mul / formal-power-series inverse (host) ------
     if remaining() > 45:

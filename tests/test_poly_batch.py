@@ -44,3 +44,27 @@ def test_batch_barycentric():
         want = barycentric_evaluate([bfe(int(v)) for v in codewords[r]],
                                     bfe(z))
         assert int(got[r]) == want.value()
+
+
+def test_batch_coset_extrapolate_matches_object_api():
+    """Device barycentric coset extrapolation == interpolate-then-evaluate
+    for out-of-domain points, across codeword rows."""
+    from twenty_first_tpu.math import poly_batch
+    from twenty_first_tpu.math.polynomial import Polynomial
+    from twenty_first_tpu.math.b_field_element import bfe
+
+    rng = np.random.default_rng(17)
+    n, rows = 64, 3
+    cws = rng.integers(0, P, size=(rows, n), dtype=np.uint64)
+    offset = 7
+    # random points are outside the 64-element coset with overwhelming
+    # probability (64/p)
+    pts = rng.integers(1, P, size=9, dtype=np.uint64)
+    # eager on the CPU backend: XLA:CPU's LLVM pass takes minutes on the
+    # unrolled inversion-chain graph (the TPU compiler takes seconds)
+    got = poly_batch.batch_coset_extrapolate(cws, offset, pts,
+                                             point_chunk=4, use_jit=False)
+    for r in range(rows):
+        want = Polynomial.coset_extrapolate(
+            bfe(offset), cws[r], [bfe(int(z)) for z in pts])
+        assert [int(v) for v in got[r]] == [w.value() for w in want]

@@ -103,6 +103,136 @@ def batch_evaluate_barycentric(codewords: np.ndarray, point: int) -> np.ndarray:
     return gf.from_limbs(out)
 
 
+def batch_coset_extrapolate(codewords: np.ndarray, offset: int,
+                            points: np.ndarray,
+                            point_chunk: int = 64,
+                            use_jit: bool = True) -> np.ndarray:
+    """Extrapolate codeword rows over the coset `offset * <omega_n>` to
+    arbitrary OUT-OF-DOMAIN points, fully on device — the STARK
+    out-of-domain-sampling hot path (reference dispatch:
+    polynomial.rs:2117-2331; the host object API's
+    `Polynomial.coset_extrapolate` mirrors it).
+
+    Uses the closed-form barycentric weights of a coset domain: with
+    Z(X) = X^n - offset^n and d_i = offset*omega^i,
+
+        f(z) = Z(z) / (n * offset^n) * sum_i c_i * d_i / (z - d_i),
+
+    so each point costs one batched inversion row + one weighted fold —
+    no interpolation, O(n) per point, batched over codeword rows AND
+    points. codewords: (rows, n); points: (m,) -> (rows, m).
+
+    Bit-exact vs interpolate-then-evaluate for points outside the coset
+    (in-domain points hit a zero denominator — use the codeword entry)."""
+    cw = np.asarray(codewords, dtype=np.uint64)
+    rows, n = cw.shape
+    pts = np.asarray(points, dtype=np.uint64) % np.uint64(P)
+    m = pts.shape[0]
+    off = int(offset) % P
+    domain = gfn.mul(_pow_row(PRIMITIVE_ROOTS[n], n), np.uint64(off))
+    off_n = pow(off, n, P)
+    # per-point scale (z^n - offset^n) / (n * offset^n), vectorized host
+    zn = np.ones(m, dtype=np.uint64)
+    base = pts.copy()
+    e = n
+    while e:
+        if e & 1:
+            zn = gfn.mul(zn, base)
+        e >>= 1
+        if e:
+            base = gfn.mul(base, base)
+    scale = gfn.mul(gfn.sub(zn, np.uint64(off_n)),
+                    np.uint64(pow(n * off_n % P, P - 2, P)))
+    cw_dev = gf.to_limbs(cw)
+    dom_dev = gf.to_limbs(domain)
+    if use_jit and m > point_chunk:
+        # ONE dispatch: lax.map over point chunks (each chunk's working
+        # set stays bounded); pad the point count to a chunk multiple
+        pad = (-m) % point_chunk
+        zp = np.concatenate([pts, np.ones(pad, dtype=np.uint64)])
+        sp = np.concatenate([scale, np.zeros(pad, dtype=np.uint64)])
+        nch = zp.shape[0] // point_chunk
+        out = _coset_extrapolate_mapped(
+            cw_dev, dom_dev,
+            gf.to_limbs(zp.reshape(nch, point_chunk)),
+            gf.to_limbs(sp.reshape(nch, point_chunk)))
+        return gf.from_limbs(out)[:, :m]
+    out = np.empty((rows, m), dtype=np.uint64)
+    for start in range(0, m, point_chunk):
+        zc = pts[start: start + point_chunk]
+        sc = scale[start: start + point_chunk]
+        chunk = _coset_extrapolate_chunk(
+            cw_dev, dom_dev, gf.to_limbs(zc), gf.to_limbs(sc),
+            use_jit=use_jit)
+        out[:, start: start + point_chunk] = gf.from_limbs(chunk)
+    return out
+
+
+def _coset_extrapolate_core(cl, ch, dl, dh, zl, zh, sl, sh):
+    """Device core: codeword limb planes (rows, n), domain (n,), point
+    chunk (c,), per-point scales (c,) -> (rows, c) values."""
+    c = zl.shape[0]
+    n = dl.shape[0]
+    diffs = gf.sub((jnp.broadcast_to(zl[:, None], (c, n)),
+                    jnp.broadcast_to(zh[:, None], (c, n))),
+                   (dl[None, :], dh[None, :]))
+    inv = gf.batch_inversion(diffs)          # 1/(z_j - d_i)
+    w = gf.mul(inv, (dl[None, :], dh[None, :]))  # d_i/(z_j - d_i)
+    terms = gf.mul((cl[:, None, :], ch[:, None, :]),
+                   (w[0][None], w[1][None]))     # (rows, c, n)
+    num = _row_field_sum(terms)                  # (rows, c)
+    return gf.mul(num, (jnp.broadcast_to(sl[None, :], num[0].shape),
+                        jnp.broadcast_to(sh[None, :], num[1].shape)))
+
+
+# one stable jit wrapper: per-shape executables cache inside it (a fresh
+# jit object per call would recompile every chunk)
+_coset_extrapolate_jit = None
+_coset_extrapolate_map_jit = None
+
+
+def _coset_extrapolate_mapped(cw, dom, zcs, scs):
+    """All point chunks in one dispatch: lax.map over the chunk axis.
+
+    zcs/scs: (nch, c) limb pairs -> (rows, nch*c) limb pair."""
+    global _coset_extrapolate_map_jit
+    if _coset_extrapolate_map_jit is None:
+        import jax
+
+        def run(cl, ch, dl, dh, zls, zhs, sls, shs):
+            def body(args):
+                zl, zh, sl, sh = args
+                return _coset_extrapolate_core(cl, ch, dl, dh, zl, zh,
+                                               sl, sh)
+
+            ol, oh = jax.lax.map(body, (zls, zhs, sls, shs))
+            # (nch, rows, c) -> (rows, nch*c)
+            ol = jnp.moveaxis(ol, 0, 1)
+            oh = jnp.moveaxis(oh, 0, 1)
+            return (ol.reshape(ol.shape[0], -1),
+                    oh.reshape(oh.shape[0], -1))
+
+        _coset_extrapolate_map_jit = jax.jit(run)
+    return _coset_extrapolate_map_jit(
+        cw[0], cw[1], dom[0], dom[1], zcs[0], zcs[1], scs[0], scs[1])
+
+
+def _coset_extrapolate_chunk(cw, dom, zc, sc, use_jit: bool = True):
+    # use_jit=False runs the ops eagerly: XLA:CPU's LLVM backend takes
+    # minutes on the fully-unrolled inversion-chain graph (the TPU
+    # compiler takes seconds) — tests on the CPU backend pass False
+    global _coset_extrapolate_jit
+    if not use_jit:
+        return _coset_extrapolate_core(
+            cw[0], cw[1], dom[0], dom[1], zc[0], zc[1], sc[0], sc[1])
+    if _coset_extrapolate_jit is None:
+        import jax
+
+        _coset_extrapolate_jit = jax.jit(_coset_extrapolate_core)
+    return _coset_extrapolate_jit(
+        cw[0], cw[1], dom[0], dom[1], zc[0], zc[1], sc[0], sc[1])
+
+
 def _row_field_sum(x):
     """Field sum along the last (power-of-two) axis via log-depth halving."""
     lo, hi = x
