@@ -118,7 +118,7 @@ def main():
 
     _p("headline ntt start")
     t_ntt = timed_chain(ntt_chain, (lo, hi, diag[0], diag[1]), 1, 3,
-                        reps=6)
+                        reps=4)
     ntt_elems_per_s = n / t_ntt
     extras[f"ntt_2^{log_n}_s"] = t_ntt
 

@@ -68,3 +68,38 @@ def test_batch_coset_extrapolate_matches_object_api():
         want = Polynomial.coset_extrapolate(
             bfe(offset), cws[r], [bfe(int(z)) for z in pts])
         assert [int(v) for v in got[r]] == [w.value() for w in want]
+
+
+def test_batch_coset_extrapolate_xfe_points():
+    """Device extrapolation at EXTENSION-FIELD points (the STARK
+    out-of-domain-sample shape) == host interpolate-then-evaluate, for
+    both base-field and extension-field codeword rows."""
+    from twenty_first_tpu.math import poly_batch
+    from twenty_first_tpu.math.polynomial import Polynomial
+    from twenty_first_tpu.math.b_field_element import bfe
+    from twenty_first_tpu.math.x_field_element import XFieldElement
+
+    rng = np.random.default_rng(29)
+    n, rows = 32, 2
+    pts = rng.integers(0, P, size=(5, 3), dtype=np.uint64)
+    pt_objs = [XFieldElement((int(a), int(b), int(c))) for a, b, c in pts]
+
+    cws = rng.integers(0, P, size=(rows, n), dtype=np.uint64)
+    got = poly_batch.batch_coset_extrapolate_xfe(
+        cws, 7, pts, point_chunk=4, use_jit=False)
+    for r in range(rows):
+        poly = Polynomial.fast_coset_interpolate(bfe(7), cws[r])
+        want = [poly.evaluate(z) for z in pt_objs]
+        have = [XFieldElement((int(a), int(b), int(c)))
+                for a, b, c in got[r]]
+        assert have == want
+
+    cwx = rng.integers(0, P, size=(rows, n, 3), dtype=np.uint64)
+    gotx = poly_batch.batch_coset_extrapolate_xfe(
+        cwx, 7, pts, point_chunk=4, use_jit=False)
+    for r in range(rows):
+        poly = Polynomial.fast_coset_interpolate(bfe(7), cwx[r])
+        want = [poly.evaluate(z) for z in pt_objs]
+        have = [XFieldElement((int(a), int(b), int(c)))
+                for a, b, c in gotx[r]]
+        assert have == want

@@ -185,6 +185,136 @@ def _coset_extrapolate_core(cl, ch, dl, dh, zl, zh, sl, sh):
                         jnp.broadcast_to(sh[None, :], num[1].shape)))
 
 
+def batch_coset_extrapolate_xfe(codewords: np.ndarray, offset: int,
+                                points: np.ndarray,
+                                point_chunk: int = 16,
+                                use_jit: bool = True) -> np.ndarray:
+    """Extrapolate codeword rows to EXTENSION-FIELD points on device — the
+    actual STARK out-of-domain-sampling shape (base-field trace columns
+    sampled at an xfe challenge; x_field_element.rs lift semantics).
+
+    codewords: (rows, n) base-field or (rows, n, 3) extension-field values;
+    points: (m, 3) xfe values, all outside the lifted coset domain.
+    Returns (rows, m, 3). Same closed-form coset-weight identity as
+    batch_coset_extrapolate, with the divided differences, inversions and
+    folds in the extension field (gf_ext)."""
+    from . import gf_ext
+    from . import xgf_numpy as xgf
+
+    cw = np.asarray(codewords, dtype=np.uint64)
+    cw_x = cw.ndim == 3
+    rows, n = cw.shape[0], cw.shape[1]
+    pts = np.asarray(points, dtype=np.uint64) % np.uint64(P)
+    m = pts.shape[0]
+    off = int(offset) % P
+    domain = gfn.mul(_pow_row(PRIMITIVE_ROOTS[n], n), np.uint64(off))
+    off_n = pow(off, n, P)
+    # host: scale_j = (z_j^n - offset^n) / (n * offset^n) in the extension
+    zn = np.zeros((m, 3), dtype=np.uint64)
+    zn[:, 0] = 1
+    base = pts.copy()
+    e = n
+    while e:
+        if e & 1:
+            zn = xgf.mul(zn, base)
+        e >>= 1
+        if e:
+            base = xgf.mul(base, base)
+    zn[:, 0] = gfn.sub(zn[:, 0], np.uint64(off_n))
+    scale = xgf.mul_base(zn, np.uint64(pow(n * off_n % P, P - 2, P)))
+    # device layouts: codewords (rows[,3],n) with component axis -2;
+    # points/scales as (m, 3) limb pairs
+    if cw_x:
+        cw_dev = gf.to_limbs(np.ascontiguousarray(np.swapaxes(cw, 1, 2)))
+    else:
+        cw_dev = gf.to_limbs(cw)
+    dom_dev = gf.to_limbs(domain)
+    pad = (-m) % point_chunk
+    zp = np.concatenate([pts, np.ones((pad, 3), dtype=np.uint64)])
+    sp = np.concatenate([scale, np.zeros((pad, 3), dtype=np.uint64)])
+    nch = zp.shape[0] // point_chunk
+    args = (cw_dev, dom_dev,
+            gf.to_limbs(zp.reshape(nch, point_chunk, 3)),
+            gf.to_limbs(sp.reshape(nch, point_chunk, 3)), cw_x)
+    if use_jit:
+        out = _coset_extrapolate_xfe_mapped(*args)
+    else:
+        chunks = [
+            _coset_extrapolate_core_xfe(
+                cw_dev[0], cw_dev[1], dom_dev[0], dom_dev[1],
+                args[2][0][i], args[2][1][i], args[3][0][i], args[3][1][i],
+                cw_x)
+            for i in range(nch)
+        ]
+        out = (jnp.concatenate([c[0] for c in chunks], axis=1),
+               jnp.concatenate([c[1] for c in chunks], axis=1))
+    vals = gf.from_limbs(out)  # (rows, nch*point_chunk, 3)
+    return vals[:, :m]
+
+
+def _coset_extrapolate_core_xfe(cl, ch, dl, dh, zl, zh, sl, sh,
+                                cw_x: bool):
+    """Device core, extension-field points: codeword limb planes
+    ((rows, n) base or (rows, 3, n) xfe), domain (n,), point chunk (c, 3),
+    scales (c, 3) -> (rows, c, 3) values."""
+    from . import gf_ext
+
+    c = zl.shape[0]
+    n = dl.shape[0]
+    d_b = (dl[None, :], dh[None, :])
+    # diffs (c, 3, n): component 0 is z0 - d_i; components 1, 2 broadcast
+    c0 = gf.sub((jnp.broadcast_to(zl[:, 0, None], (c, n)),
+                 jnp.broadcast_to(zh[:, 0, None], (c, n))), d_b)
+    diffs = (
+        jnp.stack([c0[0],
+                   jnp.broadcast_to(zl[:, 1, None], (c, n)),
+                   jnp.broadcast_to(zl[:, 2, None], (c, n))], axis=-2),
+        jnp.stack([c0[1],
+                   jnp.broadcast_to(zh[:, 1, None], (c, n)),
+                   jnp.broadcast_to(zh[:, 2, None], (c, n))], axis=-2),
+    )
+    inv = gf_ext.batch_inversion(diffs, axis=-1)      # (c, 3, n)
+    w = gf_ext.mul_base(inv, (dl, dh))                # d_i/(z_j - d_i)
+    if cw_x:
+        terms = gf_ext.mul((w[0][None], w[1][None]),
+                           (cl[:, None], ch[:, None]))  # (rows, c, 3, n)
+    else:
+        terms = gf.mul((w[0][None], w[1][None]),
+                       (cl[:, None, None, :], ch[:, None, None, :]))
+    num = _row_field_sum(terms)                       # (rows, c, 3)
+    out = gf_ext.mul((num[0][..., None], num[1][..., None]),
+                     (sl[None, :, :, None], sh[None, :, :, None]))
+    return out[0][..., 0], out[1][..., 0]
+
+
+_coset_extrapolate_xfe_map_jit = {}
+
+
+def _coset_extrapolate_xfe_mapped(cw, dom, zcs, scs, cw_x: bool):
+    """All xfe point chunks in one dispatch (lax.map over the chunk axis).
+    zcs/scs: (nch, c, 3) limb pairs -> (rows, nch*c, 3) limb pair."""
+    key = bool(cw_x)
+    if key not in _coset_extrapolate_xfe_map_jit:
+        import jax
+
+        def run(cl, ch, dl, dh, zls, zhs, sls, shs, _cw_x=key):
+            def body(args):
+                zl, zh, sl, sh = args
+                return _coset_extrapolate_core_xfe(cl, ch, dl, dh, zl, zh,
+                                                   sl, sh, _cw_x)
+
+            ol, oh = jax.lax.map(body, (zls, zhs, sls, shs))
+            # (nch, rows, c, 3) -> (rows, nch*c, 3)
+            ol = jnp.moveaxis(ol, 0, 1)
+            oh = jnp.moveaxis(oh, 0, 1)
+            return (ol.reshape(ol.shape[0], -1, 3),
+                    oh.reshape(oh.shape[0], -1, 3))
+
+        _coset_extrapolate_xfe_map_jit[key] = jax.jit(run)
+    return _coset_extrapolate_xfe_map_jit[key](
+        cw[0], cw[1], dom[0], dom[1], zcs[0], zcs[1], scs[0], scs[1])
+
+
 # one stable jit wrapper: per-shape executables cache inside it (a fresh
 # jit object per call would recompile every chunk)
 _coset_extrapolate_jit = None
