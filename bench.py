@@ -209,6 +209,45 @@ def main():
         extras["poly_fps_inverse_2^10_s"] = timed_host(
             lambda: ps.formal_power_series_inverse_newton(1 << 10), reps=2)
 
+        # mod-reduce (benches/poly_mod_reduce.rs shape)
+        modp = Polynomial.from_array(
+            rng.integers(0, p, size=(1 << 9) + 1, dtype=np.uint64))
+        extras["poly_mod_reduce_2^14_by_2^9_s"] = timed_host(
+            lambda: ps.reduce(modp), reps=2)
+
+        # coset evaluate / interpolate (benches/polynomial_coset.rs)
+        cofs = rng.integers(0, p, size=1 << 16, dtype=np.uint64)
+        pco = Polynomial.from_array(cofs)
+        extras["poly_fast_coset_evaluate_2^16_s"] = timed_host(
+            lambda: pco.fast_coset_evaluate(bfe(7), 1 << 16), reps=2)
+        cw16 = rng.integers(0, p, size=1 << 16, dtype=np.uint64)
+        extras["poly_fast_coset_interpolate_2^16_s"] = timed_host(
+            lambda: Polynomial.fast_coset_interpolate(bfe(7), cw16), reps=2)
+
+    # --- NTT table precompute (benches/ntt.rs:33-46) ------------------------
+    if remaining() > 30:
+        _p("ntt precompute start")
+
+        def precompute_2_20():
+            ntt._bit_reverse_permutation.cache_clear()
+            ntt._twiddles_host.cache_clear()
+            ntt._bit_reverse_permutation(20)
+            ntt._twiddles_host(20, False)
+
+        extras["ntt_table_precompute_2^20_s"] = timed_host(precompute_2_20,
+                                                           reps=2)
+
+    # --- Merkle auth-structure size (benches/..._auth_structure_size.rs) ---
+    if remaining() > 30:
+        from twenty_first_tpu.util_types.merkle_tree import MerkleTree
+
+        leafs_a = rng.integers(0, p, size=(1 << 12, 5), dtype=np.uint64)
+        tree_a = MerkleTree.new(leafs_a)
+        idxs = list(range(0, 1 << 12, 1 << 7))  # 32 spread-out openings
+        proof_a = tree_a.inclusion_proof_for_leaf_indices(idxs)
+        extras["merkle_2^12_auth_structure_digests_32idx"] = len(
+            proof_a.authentication_structure)
+
     # --- lattice KEM roundtrip ---------------------------------------------
     if remaining() > 30:
         from twenty_first_tpu.math import lattice
