@@ -287,12 +287,28 @@ class BFieldElement:
         return f"BFieldElement({self._v})"
 
     def __str__(self):
-        # Reference Display: small positives plain, values close to p as
-        # negative (b_field_element.rs Display impl behavior).
+        # Reference Display (b_field_element.rs:429-441): values within 256
+        # of p print as negatives, small values plain, the rest zero-padded
+        # to 20 digits.
         cutoff = 256
         if self._v >= P - cutoff:
             return f"-{P - self._v}"
-        return str(self._v)
+        if self._v <= cutoff:
+            return str(self._v)
+        return f"{self._v:>020}"
+
+    @classmethod
+    def from_str(cls, s: str) -> "BFieldElement":
+        """Parse a decimal string in the open interval (-p, p)
+        (b_field_element.rs:443-458): negatives wrap, values at or beyond
+        +/-p are rejected."""
+        try:
+            parsed = int(str(s).strip())
+        except ValueError as e:
+            raise ParseBFieldElementError(f"cannot parse {s!r}: {e}") from e
+        if parsed <= -P or parsed >= P:
+            raise ParseBFieldElementError(f"non-canonical value {parsed}")
+        return cls(parsed + P if parsed < 0 else parsed)
 
     def to_bytes(self) -> bytes:
         return self._v.to_bytes(8, "little")

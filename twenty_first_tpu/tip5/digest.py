@@ -65,10 +65,10 @@ class Digest:
             raise TryFromDigestError(f"need {cls.LEN} comma-separated values")
         vals = []
         for p in parts:
-            v = int(p.strip())
-            if not BFieldElement.is_canonical(v):
-                raise TryFromDigestError(f"non-canonical element {v}")
-            vals.append(v)
+            try:
+                vals.append(BFieldElement.from_str(p))
+            except Exception as e:
+                raise TryFromDigestError(str(e)) from e
         return cls(vals)
 
     @classmethod
