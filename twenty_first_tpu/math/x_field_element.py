@@ -78,6 +78,26 @@ class XFieldElement:
             )
         return cls(values[:3])
 
+    @classmethod
+    def from_polynomial(cls, poly) -> "XFieldElement":
+        """Reduce an arbitrary base-field polynomial mod the Shah polynomial
+        (x_field_element.rs From<Polynomial> impl)."""
+        reduced = poly % cls.shah_polynomial()
+        coeffs = list(reduced.coefficients) + [BFieldElement(0)] * EXTENSION_DEGREE
+        return cls(coeffs[:EXTENSION_DEGREE])
+
+    def increment(self, index: int) -> None:
+        """Add one to coefficient `index`, in place
+        (x_field_element.rs incr/decr API)."""
+        c = list(self.coefficients)
+        c[index] = c[index] + BFieldElement(1)
+        self.coefficients = tuple(c)
+
+    def decrement(self, index: int) -> None:
+        c = list(self.coefficients)
+        c[index] = c[index] - BFieldElement(1)
+        self.coefficients = tuple(c)
+
     def unlift(self) -> BFieldElement | None:
         c0, c1, c2 = self.coefficients
         if c1.is_zero() and c2.is_zero():
@@ -209,6 +229,11 @@ class XFieldElement:
         return f"XFieldElement({c[0]}, {c[1]}, {c[2]})"
 
     def __str__(self):
+        # Display (x_field_element.rs:438-447): unliftable values print as
+        # "{bfe}_xfe", the rest as the full degree-2 polynomial.
+        lifted = self.unlift()
+        if lifted is not None:
+            return f"{lifted}_xfe"
         c0, c1, c2 = self.coefficients
         return f"({c2}·x² + {c1}·x + {c0})"
 
