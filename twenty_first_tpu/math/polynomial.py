@@ -445,15 +445,23 @@ class Polynomial:
 
     @property
     def coefficients(self) -> list:
-        """Coefficients as scalar field-element objects (compatibility
-        surface; internal code uses the arrays directly)."""
-        return _objs_from_array(self._c, self._x)
+        """Coefficients as scalar field-element objects, trailing zeros
+        trimmed — accessing the coefficients is equivalent to normalizing
+        then raw access (polynomial.rs `coefficients()` contract).
+        Internal code uses the arrays directly."""
+        return _objs_from_array(self.to_array(), self._x)
 
     def degree(self) -> int:
         return _trimmed_len(self._c) - 1
 
     def normalize(self) -> "Polynomial":
         return Polynomial.from_array(self.to_array(), self._x)
+
+    def reverse(self) -> "Polynomial":
+        """Coefficient reversal x^deg * f(1/x) on the normalized form
+        (polynomial.rs:677-683); the backbone of the formal-power-series
+        inverse and structured-multiple machinery."""
+        return Polynomial.from_array(self.to_array()[::-1].copy(), self._x)
 
     def leading_coefficient(self):
         deg = self.degree()
