@@ -1325,16 +1325,11 @@ class Polynomial:
             half = s // 2
             ptsd = pts.reshape(m, s)
             if m * half * half > _INTERP_EVAL_DC_MIN:
-                # top levels: batched Horner would be O(s^2) element-ops per
-                # node; route the few big nodes through the D&C evaluator
-                lvals = np.stack([
-                    Polynomial.from_array(z[d + 1][2 * i + 1].copy(), False)
-                    ._batch_evaluate_arr(ptsd[i, :half], False)
-                    for i in range(m)])
-                rvals = np.stack([
-                    Polynomial.from_array(z[d + 1][2 * i].copy(), False)
-                    ._batch_evaluate_arr(ptsd[i, half:], False)
-                    for i in range(m)])
+                # top levels: batched Horner would be O(s^2) element-ops
+                # per node; run ONE level-synchronous batched remainder
+                # tree over the z rows instead (O(n log n) per level)
+                lvals, rvals = Polynomial._eval_siblings_remainder_tree(
+                    z, d, pts)
             else:
                 lvals = _horner_rows(z[d + 1][1::2], ptsd[:, :half])
                 rvals = _horner_rows(z[d + 1][0::2], ptsd[:, half:])
@@ -1366,6 +1361,75 @@ class Polynomial:
             b = Polynomial._mul_rows(rp, lz, False)
             coeffs = gfn.add(a, b).reshape(bsz, m, 2 * ln)
         return coeffs[:, 0]
+
+    @staticmethod
+    def _rows_ps_inverse(rows: np.ndarray, prec: int) -> np.ndarray:
+        """Row-batched formal-power-series inverse to precision `prec`
+        (Newton doubling; polynomial.rs:1281-1361 batched across rows).
+        Constant terms must be invertible. (M, L) -> (M, prec)."""
+        m = rows.shape[0]
+        cur = _finv(rows[:, 0].copy(), False)[:, None]
+        p = 1
+        while p < prec:
+            p2 = min(2 * p, prec)
+            a = rows[:, :p2] if rows.shape[1] >= p2 else np.pad(
+                rows, ((0, 0), (0, p2 - rows.shape[1])))
+            t = Polynomial._mul_rows(cur, a, False)[:, :p2]
+            t = gfn.neg(t)
+            t[:, 0] = gfn.add(t[:, 0], np.full(m, 2, dtype=np.uint64))
+            cur = Polynomial._mul_rows(cur, t, False)[:, :p2]
+            p = p2
+        return cur
+
+    @staticmethod
+    def _rows_mod(a: np.ndarray, b: np.ndarray,
+                  binv_rev: np.ndarray) -> np.ndarray:
+        """Row-batched A mod B for monic divisor rows B ((M, D+1)),
+        A ((M, L)) with L > D, via the reversal trick: rev(Q) = rev(A) *
+        rev(B)^-1 mod x^(L-D). binv_rev must cover precision L-D."""
+        L, D = a.shape[1], b.shape[1] - 1
+        qlen = L - D
+        q_rev = Polynomial._mul_rows(
+            a[:, ::-1][:, :qlen].copy(), binv_rev[:, :qlen], False)[:, :qlen]
+        qb = Polynomial._mul_rows(q_rev[:, ::-1].copy(), b, False)
+        return gfn.sub(a[:, :D], qb[:, :D])
+
+    @staticmethod
+    def _eval_siblings_remainder_tree(z: list, d: int, pts: np.ndarray
+                                      ) -> tuple[np.ndarray, np.ndarray]:
+        """For every node i at level d (m = 2^d nodes spanning s = n/m
+        points), evaluate the RIGHT child's zerofier on the LEFT child's
+        points and vice versa — the offset denominators of the recursive
+        interpolation (polynomial.rs:1656-1701) — as a level-synchronous
+        batched remainder tree over the precomputed zerofier rows `z`.
+        O(n log n) batched host-NTT work per level instead of per-node
+        zerofier-tree rebuilds. Returns (lvals, rvals), each (m, s/2)."""
+        n = pts.shape[0]
+        m = 1 << d
+        s = n // m
+        half = s // 2
+        depth = len(z) - 1
+        # rows aligned with nodes at level d+1: node 2i evaluates the
+        # sibling's zerofier z[d+1][2i+1] on its own points, and vice versa
+        rows = np.empty_like(z[d + 1])
+        rows[0::2] = z[d + 1][1::2]
+        rows[1::2] = z[d + 1][0::2]
+        e = d + 1
+        width = rows.shape[1]  # half + 1
+        while e < depth and width > 64:
+            div = z[e + 1]
+            dwidth = div.shape[1]  # s_{e+1} + 1
+            rep = np.repeat(rows, 2, axis=0)
+            qlen = rep.shape[1] - (dwidth - 1)
+            binv = Polynomial._rows_ps_inverse(
+                div[:, ::-1].copy(), qlen)
+            rows = Polynomial._rows_mod(rep, div, binv)
+            width = rows.shape[1]
+            e += 1
+        ptse = pts.reshape(1 << e, n >> e)
+        vals = _horner_rows(rows, ptse)  # (2^e, s_e)
+        vals = vals.reshape(2 * m, half)
+        return vals[0::2], vals[1::2]
 
     @staticmethod
     def _batch_interp_memo(pts: np.ndarray, x: bool, mats: list,
