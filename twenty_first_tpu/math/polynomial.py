@@ -1173,14 +1173,58 @@ class Polynomial:
         # ~2^18 of those the zerofier-tree divide-and-conquer below wins
         # (the reference D&Cs for everything above the leaf cutoff,
         # polynomial.rs:1840-1894 — scalar-loop economics differ here)
+        # blocked Horner is O(deg*m) element-ops but all-vectorized; the
+        # measured crossover vs the batched remainder tree is ~2^24 ops
+        # for the base field (the D&C object path for xfe keeps the old
+        # 2^18 threshold: its per-node reduce costs more)
+        horner_cap = 1 << 24 if (not self._x and not px) else 1 << 18
         if self.degree() <= RECURSION_CUTOFF_THRESHOLD \
-                or (self.degree() + 1) * m <= (1 << 18):
+                or (self.degree() + 1) * m <= horner_cap:
             return _eval_many(self.to_array(), self._x, pts, px)
+        if not self._x and not px:
+            return self._remainder_tree_eval(pts)
         tree = ZerofierTree.new_from_domain(
             _objs_from_array(pts, px))
         reduced = self.reduce(tree.zerofier())
         out = reduced._dc_eval_arr(tree.root, px)
         return out
+
+    def _remainder_tree_eval(self, pts: np.ndarray) -> np.ndarray:
+        """Base-field multipoint evaluation as a level-synchronous batched
+        remainder tree (polynomial.rs:1840-1894 realized batch-first):
+        one padded zerofier level pyramid, one reduce by the root, then
+        one batched `_rows_mod` per level down to blocked-Horner leaves."""
+        n = pts.shape[0]
+        s_leaf = RECURSION_CUTOFF_THRESHOLD
+        n_leafs = max(1, -(-n // s_leaf))
+        n_leafs = 1 << (n_leafs - 1).bit_length()
+        n_pad = n_leafs * s_leaf
+        # pad with repeats of the last point: extra evaluations, dropped
+        # at the end (a zerofier with repeated roots still evaluates fine)
+        ptsp = np.concatenate(
+            [pts, np.broadcast_to(pts[-1:], (n_pad - n,))]) \
+            if n_pad > n else pts
+        depth = n_leafs.bit_length() - 1
+        z = [None] * (depth + 1)
+        z[depth] = Polynomial.batch_smart_zerofier_rows(
+            ptsp.reshape(n_leafs, s_leaf), False)
+        for d in range(depth - 1, -1, -1):
+            z[d] = Polynomial._mul_rows(z[d + 1][0::2], z[d + 1][1::2],
+                                        False)
+        root = Polynomial.from_array(z[0][0].copy(), False)
+        reduced = self.reduce(root).to_array()
+        rows = np.zeros((1, n_pad), dtype=np.uint64)
+        rows[0, : reduced.shape[0]] = reduced
+        e = 0
+        while e < depth and rows.shape[1] > 64:
+            div = z[e + 1]
+            rep = np.repeat(rows, 2, axis=0)
+            qlen = rep.shape[1] - (div.shape[1] - 1)
+            binv = Polynomial._rows_ps_inverse(div[:, ::-1].copy(), qlen)
+            rows = Polynomial._rows_mod(rep, div, binv)
+            e += 1
+        vals = _horner_rows(rows, ptsp.reshape(1 << e, n_pad >> e))
+        return vals.reshape(-1)[:n].copy()
 
     def divide_and_conquer_batch_evaluate(self, tree: ZerofierTree) -> list:
         if tree.root is None:
