@@ -1583,6 +1583,15 @@ class Polynomial:
         return Polynomial._fmci(vals, vx, int(off), modulus, preprocessed)
 
     @staticmethod
+    def fast_modular_coset_interpolate_with_zerofiers_and_ntt_friendly_multiple(
+            values, offset, modulus: "Polynomial",
+            preprocessed) -> "Polynomial":
+        """Reference-named entry point (polynomial.rs:2020-2113; pub for
+        benchmarking there) — the preprocessed-data variant."""
+        return Polynomial.fast_modular_coset_interpolate(
+            values, offset, modulus, preprocessed)
+
+    @staticmethod
     def fast_modular_coset_interpolate_preprocess(
             n: int, offset, modulus: "Polynomial"
     ) -> "ModularInterpolationPreprocessingData":
