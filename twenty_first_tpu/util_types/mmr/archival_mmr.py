@@ -56,6 +56,13 @@ class ArchivalMmr(Mmr):
         )
         return [self._digests[i] for i in indices]
 
+    def get_peaks_with_heights(self) -> list[tuple[Digest, int]]:
+        """Peaks paired with their heights (archival_mmr.rs:260-290)."""
+        heights, indices = \
+            shared_advanced.get_peak_heights_and_peak_node_indices(
+                self.num_leafs())
+        return [(self._digests[i], h) for i, h in zip(indices, heights)]
+
     def bag_peaks(self) -> Digest:
         return bag_peaks(self.peaks(), self.num_leafs())
 
