@@ -103,3 +103,32 @@ def test_batch_coset_extrapolate_xfe_points():
         have = [XFieldElement((int(a), int(b), int(c)))
                 for a, b, c in gotx[r]]
         assert have == want
+
+
+def test_object_api_device_extrapolate_dispatch(monkeypatch):
+    """Object coset_extrapolate / batch_coset_extrapolate dispatch to the
+    device closed-form kernel (forced on CPU) and stay bit-exact with the
+    host modular-interpolation path, falling back for in-domain points."""
+    import numpy as np
+
+    from twenty_first_tpu.math.b_field_element import P, bfe
+    from twenty_first_tpu.math.ntt import PRIMITIVE_ROOTS
+    from twenty_first_tpu.math.polynomial import Polynomial
+
+    rng = np.random.default_rng(7)
+    n = 1 << 7
+    cw = [int(v) for v in rng.integers(0, P, n, dtype=np.uint64)]
+    pts = [int(v) for v in rng.integers(0, P, 11, dtype=np.uint64)]
+    monkeypatch.setenv("TWENTY_FIRST_TPU_EXTRAPOLATE_DEVICE", "0")
+    want = Polynomial.coset_extrapolate(3, cw, pts)
+    want_b = Polynomial.batch_coset_extrapolate(3, n, cw + cw, pts)
+    monkeypatch.setenv("TWENTY_FIRST_TPU_EXTRAPOLATE_DEVICE", "1")
+    got = Polynomial.coset_extrapolate(3, cw, pts)
+    got_b = Polynomial.batch_coset_extrapolate(3, n, cw + cw, pts)
+    assert got == want
+    assert got_b == want_b
+    # in-domain point: device path declines, host value is the codeword
+    omega = int(PRIMITIVE_ROOTS[n])
+    dom_pt = 3 * pow(omega, 5, P) % P
+    vals = Polynomial.coset_extrapolate(3, cw, [dom_pt])
+    assert vals[0] == bfe(cw[5])

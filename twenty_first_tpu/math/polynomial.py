@@ -82,6 +82,31 @@ def _fmul_scalar(arr, s, x: bool):
     return gfn.mul(arr, s)
 
 
+def _pow_scalar_rows(base: np.ndarray, e: int) -> np.ndarray:
+    """Elementwise base-field power of a (m,) array by square-and-multiply."""
+    acc = np.ones_like(base)
+    b = base.copy()
+    while e:
+        if e & 1:
+            acc = gfn.mul(acc, b)
+        b = gfn.mul(b, b)
+        e >>= 1
+    return acc
+
+
+def _pow_scalar_rows_x(base: np.ndarray, e: int) -> np.ndarray:
+    """Elementwise extension-field power of a (m, 3) array."""
+    acc = np.zeros_like(base)
+    acc[:, 0] = 1
+    b = base.copy()
+    while e:
+        if e & 1:
+            acc = xgf.mul(acc, b)
+        b = xgf.mul(b, b)
+        e >>= 1
+    return acc
+
+
 def _finv(arr, x: bool):
     if x:
         return xgf.inverse(arr)
@@ -1669,12 +1694,95 @@ class Polynomial:
     def coset_extrapolate(domain_offset, codeword: Sequence, points: Sequence
                           ) -> list:
         """Extrapolate a codeword over coset `domain_offset * <omega>` to
-        arbitrary points; dispatch per polynomial.rs:2117-2127."""
+        arbitrary points; dispatch per polynomial.rs:2117-2127, plus a
+        device fast path (one closed-form barycentric dispatch) when an
+        accelerator backend is attached and every point is out-of-domain."""
+        dev = Polynomial._try_device_coset_extrapolate(
+            domain_offset, codeword, points)
+        if dev is not None:
+            return dev
         if len(points) < FAST_COSET_EXTRAPOLATE_THRESHOLD:
             return Polynomial._fast_coset_extrapolate(
                 domain_offset, codeword, points)
         return Polynomial._naive_coset_extrapolate(
             domain_offset, codeword, points)
+
+    @staticmethod
+    def _try_device_coset_extrapolate(domain_offset, codeword, points
+                                      ) -> list | None:
+        """Route big extrapolations through poly_batch's closed-form device
+        kernels. Returns None when the host path should run instead: small
+        codewords, CPU-only backends (unless forced by
+        TWENTY_FIRST_TPU_EXTRAPOLATE_DEVICE=1), or in-domain points (the
+        barycentric weight has a zero denominator there)."""
+        if not Polynomial._device_extrapolate_allowed(len(codeword)):
+            return None
+        cw, cx = _to_field_array(codeword)
+        pts, px = _to_field_array(points)
+        off = int(np.uint64(_scalar_value(domain_offset)))
+        out = Polynomial._device_extrapolate_rows(off, cw[None], cx, pts, px)
+        if out is None:
+            return None
+        return _objs_from_array(out[0], cx or px)
+
+    @staticmethod
+    def _device_extrapolate_allowed(n: int) -> bool:
+        """Gate for the device extrapolation fast path: power-of-two
+        codewords of >= 2^14 on an accelerator backend;
+        TWENTY_FIRST_TPU_EXTRAPOLATE_DEVICE=1/0 forces/disables."""
+        import os
+
+        knob = os.environ.get("TWENTY_FIRST_TPU_EXTRAPOLATE_DEVICE")
+        if knob == "0":
+            return False
+        if n == 0 or n & (n - 1):
+            return False
+        if knob == "1":
+            return True
+        if n < (1 << 14):
+            return False
+        try:
+            import jax
+            return jax.default_backend() != "cpu"
+        except Exception:
+            return False
+
+    @staticmethod
+    def _device_extrapolate_rows(off: int, cw_rows: np.ndarray, cx: bool,
+                                 pts: np.ndarray, px: bool
+                                 ) -> np.ndarray | None:
+        """One device dispatch for (rows, n) codewords at (m,) points, or
+        None when a point lies on the coset (zero barycentric denominator:
+        z on the coset iff z^n == offset^n)."""
+        n = cw_rows.shape[1]
+        off_n = pow(off, n, P)
+        if px:
+            zn = _pow_scalar_rows_x(pts, n)
+            in_dom = (zn[:, 1] == 0) & (zn[:, 2] == 0) & \
+                (zn[:, 0] == np.uint64(off_n))
+        else:
+            zn = _pow_scalar_rows(pts, n)
+            in_dom = zn == np.uint64(off_n)
+        if bool(np.any(in_dom)):
+            return None
+        from . import poly_batch
+
+        # XLA:CPU's LLVM pass takes minutes on the unrolled inversion
+        # chain (see tests/test_poly_batch.py) — run the kernel eagerly
+        # there; the jitted one-dispatch path is for real accelerators
+        try:
+            import jax
+            jit = jax.default_backend() != "cpu"
+        except Exception:
+            jit = False
+        kw = {} if jit else {"point_chunk": 4, "use_jit": False}
+        if px or cx:
+            pts_x = pts if px else _lift3(pts)
+            out = poly_batch.batch_coset_extrapolate_xfe(
+                cw_rows, off, pts_x, **kw)
+            return np.asarray(out)
+        return np.asarray(
+            poly_batch.batch_coset_extrapolate(cw_rows, off, pts, **kw))
 
     @staticmethod
     def _fast_coset_extrapolate(domain_offset, codeword, points) -> list:
@@ -1698,6 +1806,17 @@ class Polynomial:
             raise PolynomialError("codeword length must be a power of two")
         cw, cx = _to_field_array(codewords)
         num = cw.shape[0] // codeword_length
+        if Polynomial._device_extrapolate_allowed(codeword_length):
+            pts_arr, px = _to_field_array(points)
+            shape = (num, codeword_length, 3) if cx \
+                else (num, codeword_length)
+            rows = cw.reshape(shape)
+            dev = Polynomial._device_extrapolate_rows(
+                int(np.uint64(_scalar_value(domain_offset))), rows, cx,
+                pts_arr, px)
+            if dev is not None:
+                flat = dev.reshape((-1, 3) if dev.ndim == 3 else (-1,))
+                return _objs_from_array(flat, cx or px)
         out: list = []
         if len(points) < FAST_COSET_EXTRAPOLATE_THRESHOLD:
             zerofier_tree = ZerofierTree.new_from_domain(points)
