@@ -181,18 +181,19 @@ def main():
                   np.unique(rng.integers(1, p, size=1 << 11,
                                          dtype=np.uint64))[: 1 << 10]]
         _p("coset extrapolate start")
-        extras["poly_coset_extrapolate_2^18_to_2^10_s"] = timed_host(
-            lambda: Polynomial.coset_extrapolate(bfe(7), codeword, points),
-            reps=1)
-
-        # device barycentric form of the same workload (poly_batch):
-        # one lax.map dispatch, closed-form coset weights
+        # device barycentric form first (poly_batch): one lax.map dispatch,
+        # closed-form coset weights — also warms the kernel the object API
+        # dispatches to on accelerator backends
         from twenty_first_tpu.math import poly_batch
 
         pts_arr = np.array([q.value() for q in points], dtype=np.uint64)
         extras["device_coset_extrapolate_2^18_to_2^10_s"] = timed_host(
             lambda: poly_batch.batch_coset_extrapolate(
                 codeword[None, :], 7, pts_arr), reps=2)
+
+        extras["poly_coset_extrapolate_2^18_to_2^10_s"] = timed_host(
+            lambda: Polynomial.coset_extrapolate(bfe(7), codeword, points),
+            reps=1)
 
     # --- poly scale / scalar-mul / formal-power-series inverse (host) ------
     if remaining() > 45:
