@@ -318,3 +318,67 @@ def test_scalar_multiplication_methods_agree():
     fx = rand_poly(rng, 7, x=True)
     sx = xfe((1, 2, 3))
     assert fx.scalar_mul(sx) == fx * Polynomial([sx])
+
+
+def test_rows_ps_inverse_property():
+    # batched Newton inverse: rows * inv == 1 mod x^prec, random shapes
+    import numpy as np
+
+    from twenty_first_tpu.math.polynomial import Polynomial
+
+    rng = random.Random(21)
+    nprng = np.random.default_rng(21)
+    for _ in range(6):
+        m = rng.randrange(1, 5)
+        L = rng.randrange(2, 40)
+        prec = rng.randrange(1, 50)
+        rows = nprng.integers(0, P, (m, L), dtype=np.uint64)
+        rows[:, 0] = nprng.integers(1, P, m, dtype=np.uint64)
+        inv = Polynomial._rows_ps_inverse(rows, prec)
+        for i in range(m):
+            a = Polynomial.from_array(rows[i].copy(), False)
+            b = Polynomial.from_array(inv[i].copy(), False)
+            prod = (a * b).mod_x_to_the_n(prec)
+            assert prod == Polynomial.one()
+
+
+def test_rows_mod_matches_divmod():
+    # batched reversal-trick modulo == long division, monic divisors
+    import numpy as np
+
+    from twenty_first_tpu.math.polynomial import Polynomial
+
+    rng = random.Random(22)
+    nprng = np.random.default_rng(22)
+    for _ in range(6):
+        m = rng.randrange(1, 4)
+        D = rng.randrange(1, 20)
+        L = D + rng.randrange(1, 30)
+        a = nprng.integers(0, P, (m, L), dtype=np.uint64)
+        b = nprng.integers(0, P, (m, D + 1), dtype=np.uint64)
+        b[:, D] = 1  # monic
+        binv = Polynomial._rows_ps_inverse(
+            np.ascontiguousarray(b[:, ::-1]), L - D)
+        rem = Polynomial._rows_mod(a, b, binv)
+        for i in range(m):
+            fa = Polynomial.from_array(a[i].copy(), False)
+            fb = Polynomial.from_array(b[i].copy(), False)
+            want = fa % fb
+            got = Polynomial.from_array(rem[i].copy(), False)
+            assert got == want
+
+
+def test_remainder_tree_eval_random_sizes():
+    # _remainder_tree_eval == Horner on random non-pow2 point counts
+    import numpy as np
+
+    from twenty_first_tpu.math.polynomial import (Polynomial, _eval_many)
+
+    nprng = np.random.default_rng(23)
+    for n_pts, deg in ((17, 300), (100, 150), (257, 64), (513, 700)):
+        fa = nprng.integers(0, P, deg, dtype=np.uint64)
+        f = Polynomial.from_array(fa.copy(), False)
+        pts = nprng.integers(0, P, n_pts, dtype=np.uint64)
+        got = f._remainder_tree_eval(pts)
+        want = _eval_many(f.to_array(), False, pts, False)
+        assert np.array_equal(got, want), (n_pts, deg)
