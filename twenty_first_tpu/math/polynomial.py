@@ -1890,7 +1890,8 @@ class ModularInterpolationPreprocessingData:
 
 
 # crossover (element-ops) above which the top-down sibling-zerofier
-# evals in _batch_interp_pow2 route through the D&C evaluator
+# evals in _batch_interp_pow2 route through the batched remainder tree
+# (below it, row-batched Horner on the level is cheaper)
 _INTERP_EVAL_DC_MIN = 1 << 21
 
 
