@@ -107,3 +107,62 @@ def test_hash_varlen_deterministic_and_padded(values):
     # comes from the padding rule itself)
     d3 = Tip5.hash_varlen(v + [bfe(1)])
     assert d1 != d3
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.data())
+def test_mmr_stateful_fuzz_vs_archival_oracle(data):
+    """Random append/mutate program replayed against both MmrAccumulator
+    (succinct, with tracked membership proofs maintained by the batch
+    update algorithms) and ArchivalMmr (stores all nodes): peaks, proofs
+    and leaf counts must agree at every step — the reference's
+    update_membership_proof_from_{append,leaf_mutation}_big pbt family
+    (mmr_membership_proof.rs) as one stateful program."""
+    from twenty_first_tpu.util_types.mmr.mmr_accumulator import (
+        MmrAccumulator)
+    from twenty_first_tpu.util_types.mmr.mmr_trait import LeafMutation
+
+    def rd(i):
+        return Tip5.hash_varlen([bfe(i)])
+
+    n0 = data.draw(st.integers(1, 12), label="initial_leafs")
+    leafs = [rd(i) for i in range(n0)]
+    arch = ArchivalMmr.new_from_leafs(list(leafs))
+    acc = MmrAccumulator.new_from_leafs(list(leafs))
+    # track a proof for every leaf, maintained incrementally
+    proofs = [arch.prove_membership(i) for i in range(n0)]
+    next_val = 1000
+    for step in range(data.draw(st.integers(1, 8), label="steps")):
+        op = data.draw(st.sampled_from(["append", "mutate"]),
+                       label=f"op{step}")
+        if op == "append":
+            new_leaf = rd(next_val)
+            next_val += 1
+            # maintain all tracked proofs through the append
+            from twenty_first_tpu.util_types.mmr.mmr_membership_proof \
+                import MmrMembershipProof
+            MmrMembershipProof.batch_update_from_append(
+                proofs, list(range(len(leafs))), len(leafs), new_leaf,
+                acc.peaks())
+            arch_proof = arch.append(new_leaf)
+            acc.append(new_leaf)
+            leafs.append(new_leaf)
+            proofs.append(arch_proof)
+        else:
+            idx = data.draw(
+                st.integers(0, len(leafs) - 1), label=f"idx{step}")
+            new_leaf = rd(next_val)
+            next_val += 1
+            mutation = LeafMutation(idx, new_leaf, proofs[idx])
+            from twenty_first_tpu.util_types.mmr.mmr_membership_proof \
+                import MmrMembershipProof
+            MmrMembershipProof.batch_update_from_leaf_mutation(
+                proofs, list(range(len(leafs))), mutation)
+            arch.mutate_leaf_unchecked(idx, new_leaf)
+            acc.mutate_leaf(mutation)
+            leafs[idx] = new_leaf
+        assert acc.peaks() == arch.peaks()
+        assert acc.num_leafs() == arch.num_leafs() == len(leafs)
+        for i, (leaf, proof) in enumerate(zip(leafs, proofs)):
+            assert proof.verify(i, leaf, acc.peaks(), len(leafs)), \
+                (step, op, i)
