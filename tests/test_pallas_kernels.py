@@ -59,3 +59,22 @@ def test_pallas_ntt_matches_xla():
         np.testing.assert_array_equal(back, x)
     finally:
         ntt_pallas.pl.pallas_call = orig
+
+
+def test_pallas_kernels_bit_exact_on_tpu_hardware():
+    """Full-compile bit-exactness of both Pallas Tip5 kernels on real TPU
+    hardware. Opt-in (TWENTY_FIRST_TPU_PALLAS_HW_TEST=1): CI runs the CPU
+    backend, and the axon tunnel's chipless AOT compile helper cannot
+    build Mosaic kernels — run directly on a TPU VM."""
+    import os
+
+    import pytest
+
+    if os.environ.get("TWENTY_FIRST_TPU_PALLAS_HW_TEST") != "1":
+        pytest.skip("hardware-only: set TWENTY_FIRST_TPU_PALLAS_HW_TEST=1")
+    states = RNG.integers(0, P, size=(8 * 512, 16), dtype=np.uint64)
+    want = jnp_perm.permutation_values(states)
+    got = tip5_pallas.permutation_values(states, tile=2048)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    dense = tip5_pallas.permutation_dense_values(states)
+    np.testing.assert_array_equal(np.asarray(dense), np.asarray(want))

@@ -163,7 +163,9 @@ def _roll_lanes(x, shift):
     try:
         from jax.experimental.pallas import tpu as pltpu
 
-        return pltpu.roll(x, shift=shift, axis=1)
+        # Mosaic's tpu.dynamic_rotate requires an i32 shift operand; a
+        # bare python int traces as i64 on current JAX and fails verify
+        return pltpu.roll(x, shift=jnp.int32(shift), axis=1)
     except Exception:
         return jnp.roll(x, shift, axis=1)
 
