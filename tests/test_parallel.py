@@ -55,3 +55,21 @@ def test_distributed_merkle_root(n_dev, log_n):
     got = distributed_merkle_root(leafs, mesh)
     want = MerkleTree.new(leafs).root()
     assert got == want
+
+
+@pytest.mark.parametrize("n_dev,log_n", [(4, 10), (8, 12)])
+def test_distributed_xfe_ntt_matches_single_chip(n_dev, log_n):
+    """Sharded extension-field NTT (three base-field plane transforms over
+    the mesh) is bit-exact vs the single-chip xfe path."""
+    from twenty_first_tpu.parallel import (make_mesh,
+                                           distributed_ntt_xfe_values)
+
+    mesh = make_mesh(n_dev)
+    rng = np.random.default_rng(log_n)
+    vals = rng.integers(0, P, size=(1 << log_n, 3), dtype=np.uint64)
+    got = distributed_ntt_xfe_values(vals, mesh)
+    from twenty_first_tpu.math import ntt as ntt_mod
+    want = ntt_mod.ntt_values(vals.T).T
+    np.testing.assert_array_equal(got, want)
+    back = distributed_ntt_xfe_values(got, mesh, inverse=True)
+    np.testing.assert_array_equal(back, vals)

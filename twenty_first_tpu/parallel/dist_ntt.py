@@ -179,3 +179,20 @@ def distributed_ntt_values(values: np.ndarray, mesh, inverse: bool = False
     x = gf.to_limbs(values.reshape(n2, n1))
     zlo, zhi = distributed_ntt(x, mesh, inverse=inverse, natural_output=True)
     return gf.from_limbs((zlo, zhi)).reshape(-1)
+
+
+def distributed_ntt_xfe_values(values: np.ndarray, mesh,
+                               inverse: bool = False) -> np.ndarray:
+    """Distributed extension-field NTT of (n, 3) canonical values.
+
+    The NTT is base-field-linear with base-field twiddles (the reference's
+    single generic path, ntt.rs:34-82, covers both fields for the same
+    reason), so an xfe transform is three independent base-field plane
+    transforms; each plane rides the same sharded four-step graph and
+    twiddle shards (cached after the first call)."""
+    values = np.asarray(values, dtype=np.uint64)
+    if values.ndim != 2 or values.shape[1] != 3:
+        raise ValueError("expected (n, 3) extension-field values")
+    planes = [distributed_ntt_values(values[:, i], mesh, inverse=inverse)
+              for i in range(3)]
+    return np.stack(planes, axis=1)
