@@ -176,3 +176,45 @@ def test_generic_encode():
     assert encode(bfe(3)) == [bfe(3)]
     assert encode([bfe(1), bfe(2)])[0] == bfe(2)
     assert encode(7) == [bfe(7), bfe(0)]  # ints as u64
+
+
+def test_decorator_rejects_bad_specs():
+    """Decoration-time validation — the analogue of the derive macro's
+    trybuild compile-fail cases (twenty-first/trybuild/*.rs)."""
+    import pytest
+
+    from twenty_first_tpu.math.bfield_codec import (
+        BFE, U64, BFieldCodecError, bfield_codec)
+
+    # incorrect_field_attribute.rs: not a codec type
+    with pytest.raises(BFieldCodecError):
+        @bfield_codec(fields=[("a", int)])
+        class Bad1:
+            pass
+
+    # multiple_field_attributes.rs: duplicated ignore
+    with pytest.raises(BFieldCodecError):
+        @bfield_codec(fields=[("a", BFE)], ignore=["b", "b"])
+        class Bad2:
+            b = 0
+
+    with pytest.raises(BFieldCodecError):
+        @bfield_codec(fields=[("a", BFE), ("a", U64)])
+        class Bad3:
+            pass
+
+    with pytest.raises(BFieldCodecError):
+        @bfield_codec(fields=[("a", BFE)], ignore=["a"])
+        class Bad4:
+            pass
+
+    with pytest.raises(BFieldCodecError):
+        @bfield_codec(variants=[("A", []), ("A", [])])
+        class Bad5:
+            pass
+
+    # missing_field_attribute.rs analogue: plain well-formed spec passes
+    @bfield_codec(fields=[("a", BFE)])
+    class Good:
+        def __init__(self, a):
+            self.a = a

@@ -456,6 +456,26 @@ def _decode_fields_reversed(field_list, sequence) -> dict:
 
 
 def _wrap_struct(cls, field_list, ignored):
+    # spec validation at decoration time — the analogue of the derive
+    # macro's compile errors (twenty-first/trybuild/*.rs): unknown or
+    # duplicated attributes must not silently produce a broken codec
+    names = [name for name, _ in field_list]
+    if len(set(names)) != len(names):
+        raise BFieldCodecError(f"duplicate codec field in {cls.__name__}")
+    dup_ignore = [n for n in ignored if ignored.count(n) > 1]
+    if dup_ignore:
+        raise BFieldCodecError(
+            f"field {dup_ignore[0]!r} ignored more than once "
+            f"(trybuild/multiple_field_attributes.rs analogue)")
+    both = set(names) & set(ignored)
+    if both:
+        raise BFieldCodecError(
+            f"field {both.pop()!r} is both encoded and ignored")
+    for name, ftype in field_list:
+        if not isinstance(ftype, CodecType):
+            raise BFieldCodecError(
+                f"field {name!r} has a non-codec type "
+                f"(trybuild/incorrect_field_attribute.rs analogue)")
     def encode(self) -> list[BFieldElement]:
         return _encode_fields_reversed(self, field_list)
 
@@ -484,6 +504,14 @@ def _wrap_struct(cls, field_list, ignored):
 
 def _wrap_enum(cls, variant_list):
     names = [v[0] for v in variant_list]
+    if len(set(names)) != len(names):
+        raise BFieldCodecError(f"duplicate enum variant in {cls.__name__}")
+    for vname, vfields in variant_list:
+        for fname, ftype in vfields:
+            if not isinstance(ftype, CodecType):
+                raise BFieldCodecError(
+                    f"variant {vname!r} field {fname!r} has a "
+                    f"non-codec type")
 
     def encode(self) -> list[BFieldElement]:
         discriminant = names.index(self.variant)
