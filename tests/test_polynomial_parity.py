@@ -382,3 +382,43 @@ def test_remainder_tree_eval_random_sizes():
         got = f._remainder_tree_eval(pts)
         want = _eval_many(f.to_array(), False, pts, False)
         assert np.array_equal(got, want), (n_pts, deg)
+
+
+def test_formal_power_series_inverse_newton_concrete():
+    # polynomial.rs:4052-4070 (hardcoded reference case)
+    f = Polynomial([bfe(c) for c in (
+        3618372803227210457, 14620511201754172786, 2577803283145951105,
+        1723541458268087404, 4119508755381840018, 8592072587377832596,
+        236223201225)])
+    precision = 8
+    g = f.formal_power_series_inverse_newton(precision)
+    xn = Polynomial.x_to_the(precision)
+    _, remainder = (g * f).divide(xn)
+    assert remainder.is_one()
+
+
+def test_structured_multiple_generates_structure_concrete():
+    # polynomial.rs:4139-4159 (hardcoded reference case)
+    f = Polynomial([bfe(c) for c in
+                    (884763262770, 0, 51539607540, 14563891882495327437)])
+    n = f.degree()
+    m = f.structured_multiple()
+    assert m.degree() == 3 * n + 1
+    x3np1 = Polynomial.x_to_the(3 * n + 1)
+    _, remainder = m.divide(x3np1)
+    assert remainder.degree() <= 2 * n
+    structured = m - remainder
+    assert structured.reverse().degree() == 0
+    assert structured.leading_coefficient() == bfe(1)
+
+
+def test_structured_multiple_is_multiple():
+    # polynomial.rs `structured_multiple_is_multiple` (+ of_degree variant)
+    rng = random.Random(33)
+    for _ in range(10):
+        f = rand_poly(rng, rng.randrange(1, 12))
+        if f.degree() < 0:
+            continue
+        m = f.structured_multiple()
+        _, r = m.divide(f)
+        assert r.is_zero()

@@ -987,7 +987,9 @@ class Polynomial:
         return g.mod_x_to_the_n(precision)
 
     def structured_multiple(self) -> "Polynomial":
-        return self.structured_multiple_of_degree(2 * self.degree() + 1)
+        """Multiple of the form x^(3n+1) + (tail of degree <= 2n)
+        (polynomial.rs:1147-1153)."""
+        return self.structured_multiple_of_degree(3 * self.degree() + 1)
 
     def structured_multiple_of_degree(self, n: int) -> "Polynomial":
         """A multiple of self of the form x^n + (tail of degree < deg(self)),
