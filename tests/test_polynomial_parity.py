@@ -422,3 +422,40 @@ def test_structured_multiple_is_multiple():
         m = f.structured_multiple()
         _, r = m.divide(f)
         assert r.is_zero()
+
+
+def test_fast_evaluate_on_hardcoded_domain_and_polynomial():
+    # polynomial.rs:3498-3505
+    f = Polynomial([bfe(c) for c in (0, 0, 0, 1, 0, 1)])  # x^5 + x^3
+    domain = [bfe(6), bfe(12)]
+    want = [x.mod_pow(5) + x.mod_pow(3) for x in domain]
+    assert f.batch_evaluate(domain) == want
+
+
+def test_reduce_by_ntt_friendly_modulus_concrete():
+    # polynomial.rs:4311-4333
+    import numpy as np
+
+    from twenty_first_tpu.math import ntt as ntt_mod
+
+    a = Polynomial([bfe(0), bfe(0), bfe(75944580)])
+    b_coeffs = [bfe(944892804900)]
+    n = 2  # next_power_of_two(len(b) + 1)
+    full_modulus = Polynomial(b_coeffs + [bfe(0)] * (n - 1) + [bfe(1)])
+    _, long_remainder = a.divide(full_modulus)
+    shift = np.zeros(n, dtype=np.uint64)
+    shift[0] = b_coeffs[0].value()
+    shift_ntt = ntt_mod.ntt_values(shift)
+    structured = a.reduce_by_ntt_friendly_modulus(shift_ntt, 1)
+    assert structured == long_remainder
+
+
+def test_reduce_long_division_and_fast_reduce_agree_simple_fixed():
+    # polynomial.rs:4378-4397
+    roots = [bfe(i) for i in range(10)]
+    numerator = Polynomial.zerofier(roots).formal_derivative()
+    denominator = Polynomial.zerofier(roots[: len(roots) // 5])
+    quotient, remainder = numerator.divide(denominator)
+    assert numerator == denominator * quotient + remainder
+    assert numerator.fast_reduce(denominator) == remainder
+    assert numerator.reduce(denominator) == remainder
