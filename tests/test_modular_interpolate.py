@@ -272,3 +272,19 @@ class TestArrayApi:
         prod = b * x
         assert prod.is_extension
         assert prod.evaluate(bfe(5)) == b.evaluate(bfe(5)) * x.evaluate(bfe(5))
+
+
+def test_fast_modular_coset_interpolate_concrete_i_div_5():
+    """polynomial.rs:4476-4493 — the reference's concrete logn=8 case:
+    values i//5 on the offset-7 coset, modulus x^2+3x+2."""
+    n = 1 << 8
+    modulus = Polynomial([bfe(2), bfe(3), bfe(1)])
+    values = [bfe(i // 5) for i in range(n)]
+    offset = bfe(7)
+    omega = BFieldElement.primitive_root_of_unity(n)
+    domain = [offset]
+    for _ in range(1, n):
+        domain.append(domain[-1] * omega)
+    want = Polynomial.interpolate(domain, values).reduce(modulus)
+    got = Polynomial.fast_modular_coset_interpolate(values, offset, modulus)
+    assert got == want
