@@ -300,6 +300,31 @@ def main():
         extras["tip5_hash_10_batch_65536_s"] = t_perm  # 1 permutation each
         extras["tip5_hash_pair_per_s"] = batch / t_perm
 
+    # --- Tip5 hash_varlen (length 16386, reference bench shape) ------------
+    if remaining() > 90:
+        rows = 64
+        data = rng.integers(0, p, size=(rows, 16386), dtype=np.uint64)
+        padded = np.zeros((rows, 16390), dtype=np.uint64)
+        padded[:, :16386] = data
+        padded[:, 16386] = 1
+        vlo, vhi = (jax.device_put(v) for v in gf.to_limbs(padded))
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def varlen_chain(a, b, k):
+            # carry-dependent input: prevents loop-invariant hoisting
+            def body(i, acc):
+                o = tip5_dev.hash_varlen_padded((a ^ acc[0], b))
+                return (acc[0] ^ jnp.sum(o[0], dtype=jnp.uint32),
+                        acc[1] + jnp.sum(o[1], dtype=jnp.uint32))
+            o = jax.lax.fori_loop(
+                0, k, body,
+                (jnp.zeros((), jnp.uint32), jnp.zeros((), jnp.uint32)))
+            return o[0] + o[1]
+
+        _p("tip5 varlen start")
+        t_varlen = timed_chain(varlen_chain, (vlo, vhi), 1, 9)
+        extras["tip5_hash_varlen_16386_s"] = t_varlen / rows
+
     # --- Merkle commit heights 16 / 20 (in-graph layered reduction) --------
     if remaining() > 90:
         from twenty_first_tpu.parallel import dist_merkle
@@ -412,31 +437,6 @@ def main():
         _p("xfe mul start")
         t_xmul = timed_chain(xmul_chain, (alo, ahi, blo, bhi), 1, 9)
         extras["xfe_mul_2^20_per_s"] = (1 << 20) / t_xmul
-
-    # --- Tip5 hash_varlen (length 16386, reference bench shape) ------------
-    if remaining() > 90:
-        rows = 64
-        data = rng.integers(0, p, size=(rows, 16386), dtype=np.uint64)
-        padded = np.zeros((rows, 16390), dtype=np.uint64)
-        padded[:, :16386] = data
-        padded[:, 16386] = 1
-        vlo, vhi = (jax.device_put(v) for v in gf.to_limbs(padded))
-
-        @functools.partial(jax.jit, static_argnames=("k",))
-        def varlen_chain(a, b, k):
-            # carry-dependent input: prevents loop-invariant hoisting
-            def body(i, acc):
-                o = tip5_dev.hash_varlen_padded((a ^ acc[0], b))
-                return (acc[0] ^ jnp.sum(o[0], dtype=jnp.uint32),
-                        acc[1] + jnp.sum(o[1], dtype=jnp.uint32))
-            o = jax.lax.fori_loop(
-                0, k, body,
-                (jnp.zeros((), jnp.uint32), jnp.zeros((), jnp.uint32)))
-            return o[0] + o[1]
-
-        _p("tip5 varlen start")
-        t_varlen = timed_chain(varlen_chain, (vlo, vhi), 1, 9)
-        extras["tip5_hash_varlen_16386_s"] = t_varlen / rows
 
     _p("done; emitting")
     result = {
