@@ -200,6 +200,40 @@ void gl_intt(u64* x, size_t n, u64 root_inv) {
   for (size_t i = 0; i < n; i++) x[i] = gl_mul(x[i], n_inv);
 }
 
+// Row-batched in-place NTT: `rows` contiguous transforms of length n,
+// with the per-stage twiddle table precomputed by the caller (stage s of
+// log2(n) holds 2^s entries, concatenated; total n-1). n_inv != 0 applies
+// the inverse 1/n scaling (caller passes inverse-root twiddles then).
+// Replaces the python host-NTT's per-stage numpy passes with one call.
+void gl_ntt_rows(u64* x, size_t rows, size_t n, const u64* stage_tw,
+                 u64 n_inv) {
+  if (n <= 1) return;
+  uint32_t log_n = 0;
+  while ((size_t{1} << log_n) < n) log_n++;
+  for (size_t r = 0; r < rows; r++) {
+    u64* row = x + r * n;
+    for (uint32_t k = 0; k < n; k++) {
+      uint32_t rev = bitrev32(k) >> (32 - log_n);
+      if (k < rev) { u64 t = row[k]; row[k] = row[rev]; row[rev] = t; }
+    }
+    const u64* tw = stage_tw;
+    for (size_t m = 1; m < n; m *= 2) {
+      for (size_t k = 0; k < n; k += 2 * m) {
+        for (size_t j = 0; j < m; j++) {
+          u64 u = row[k + j];
+          u64 v = gl_mul(row[k + j + m], tw[j]);
+          row[k + j] = gl_add(u, v);
+          row[k + j + m] = gl_sub(u, v);
+        }
+      }
+      tw += m;
+    }
+    if (n_inv) {
+      for (size_t i = 0; i < n; i++) row[i] = gl_mul(row[i], n_inv);
+    }
+  }
+}
+
 // ---------------------------------------------------------------------------
 // Polynomial long division (remainder + quotient)
 // ---------------------------------------------------------------------------

@@ -69,3 +69,43 @@ def test_native_poly_divmod():
         len(r) - pr.degree() - 1
     )
     assert r.tolist() == want_r
+
+
+def test_native_array_ops_match_numpy_forms_on_full_u64_range():
+    """gl_{mul,add,sub}_arrays == the numpy limb forms on ALL u64 inputs
+    (incl. non-canonical >= p), so the size-gated dispatch in gf_numpy
+    can never change values."""
+    import numpy as np
+
+    from twenty_first_tpu import native
+    from twenty_first_tpu.math import gf_numpy as gfn
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    lib = native._load()
+    rng = np.random.default_rng(0xF00D)
+    n = 1 << 13
+    # full-range u64 including values in [p, 2^64)
+    a = rng.integers(0, 1 << 64, n, dtype=np.uint64)
+    b = rng.integers(0, 1 << 64, n, dtype=np.uint64)
+    edge = np.array([0, 1, gfn.P - 1, gfn.P, np.uint64(2**64 - 1)],
+                    dtype=np.uint64)
+    a[:5], b[:5] = edge, edge[::-1].copy()
+    import os
+    os.environ["TWENTY_FIRST_TPU_NATIVE_HOST"] = "0"
+    gfn._NATIVE = None  # reset dispatch cache
+    try:
+        want_mul = gfn.mul(a, b)
+        want_add = gfn.add(a, b)
+        want_sub = gfn.sub(a, b)
+    finally:
+        del os.environ["TWENTY_FIRST_TPU_NATIVE_HOST"]
+        gfn._NATIVE = None
+    for name, want in (("gl_mul_arrays", want_mul),
+                       ("gl_add_arrays", want_add),
+                       ("gl_sub_arrays", want_sub)):
+        out = np.empty_like(a)
+        getattr(lib, name)(native._u64p(a), native._u64p(b),
+                           native._u64p(out), n)
+        assert np.array_equal(out, want), name

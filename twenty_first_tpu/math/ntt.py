@@ -1360,6 +1360,34 @@ def intt_limbs(x):
 HOST_NTT_MAX_ELEMS = 1 << 15
 
 
+@functools.lru_cache(maxsize=64)
+def _host_stage_tw_flat(log_n: int, inverse: bool) -> np.ndarray:
+    """Concatenated per-stage twiddles (length n-1) for the native core."""
+    return np.ascontiguousarray(
+        np.concatenate(_twiddles_host(log_n, inverse)))
+
+
+def _ntt_host_native(values: np.ndarray, log_n: int, inverse: bool):
+    """Route host transforms through the native row-batched C++ NTT —
+    one call replacing ~3*log_n broadcast/strided numpy passes; measured
+    severalfold faster from ~2^8 up. Returns None to use the numpy form
+    (small inputs, native unavailable, TWENTY_FIRST_TPU_NATIVE_HOST=0)."""
+    import os
+
+    if values.size < (1 << 8) or \
+            os.environ.get("TWENTY_FIRST_TPU_NATIVE_HOST") == "0":
+        return None
+    from .. import native
+
+    if not native.available():
+        return None
+    n = 1 << log_n
+    out = np.ascontiguousarray(values, dtype=np.uint64).reshape(-1, n).copy()
+    n_inv = pow(n, P - 2, P) if inverse else 0
+    native.ntt_rows_inplace(out, _host_stage_tw_flat(log_n, inverse), n_inv)
+    return out.reshape(values.shape)
+
+
 def ntt_host(values: np.ndarray, inverse: bool = False) -> np.ndarray:
     """Vectorized host-numpy NTT over the last axis (radix-2 stages).
 
@@ -1370,6 +1398,9 @@ def ntt_host(values: np.ndarray, inverse: bool = False) -> np.ndarray:
     log_n = _check_len(n)
     if n <= 1:
         return values.copy()
+    fast = _ntt_host_native(values, log_n, inverse)
+    if fast is not None:
+        return fast
     perm = _bit_reverse_permutation(log_n)
     stages = _twiddles_host(log_n, inverse)
     x = values[..., perm]

@@ -58,6 +58,8 @@ def _load():
     lib.tip5_permute_batch.argtypes = [u64p, ctypes.c_size_t]
     lib.gl_ntt.argtypes = [u64p, ctypes.c_size_t, ctypes.c_uint64]
     lib.gl_intt.argtypes = [u64p, ctypes.c_size_t, ctypes.c_uint64]
+    lib.gl_ntt_rows.argtypes = [u64p, ctypes.c_size_t, ctypes.c_size_t,
+                                u64p, ctypes.c_uint64]
     lib.gl_poly_divmod.argtypes = [u64p, ctypes.c_size_t, u64p,
                                    ctypes.c_size_t, u64p, u64p]
 
@@ -112,6 +114,17 @@ def intt_inplace(x: np.ndarray, root_inv: int) -> np.ndarray:
     out = np.ascontiguousarray(x, dtype=np.uint64).copy()
     lib.gl_intt(_u64p(out), out.size, ctypes.c_uint64(root_inv))
     return out
+
+
+def ntt_rows_inplace(x: np.ndarray, stage_tw: np.ndarray,
+                     n_inv: int = 0) -> None:
+    """Row-batched in-place NTT of a C-contiguous (rows, n) uint64 array,
+    with caller-precomputed concatenated stage twiddles (length n-1)."""
+    lib = _load()
+    assert lib is not None
+    rows, n = x.shape
+    lib.gl_ntt_rows(_u64p(x), rows, n, _u64p(stage_tw),
+                    ctypes.c_uint64(n_inv))
 
 
 def batch_inverse(x: np.ndarray) -> np.ndarray:
