@@ -130,9 +130,10 @@ def _device_tables_r4(log_n: int, inverse: bool):
 
 
 # Stage-plan radix for the hot axis(-2) core. Radix-8 does fewer general
-# multiplies per element (7/8 per 3 stages vs 3/4 per 2) but measured SLOWER
-# on v5e: 2^24 four-step 13.5 ms (r8) vs 10.3 ms (r4) — the extra shift-class
-# rotations and wider live state outweigh the saved multiplies on the VPU.
+# multiplies per element (7/8 per 3 stages vs 3/4 per 2) and fewer butterfly
+# layers, but measures a wash-to-slower on v5e (interleaved A/B at 2^24:
+# 9.97 ms r8 vs 10.12 ms r4, scripts/prof_r8_ab.py) — the extra shift-class
+# rotations and wider live state give back the saved multiplies/layers.
 # Radix-4 is therefore the default; set TWENTY_FIRST_TPU_NTT_RADIX8=1 to
 # re-measure the radix-8 plan on other hardware.
 _USE_RADIX8 = os.environ.get("TWENTY_FIRST_TPU_NTT_RADIX8", "0") == "1"
