@@ -107,8 +107,9 @@ def test_batch_coset_extrapolate_xfe_points():
 
 def test_object_api_device_extrapolate_dispatch(monkeypatch):
     """Object coset_extrapolate / batch_coset_extrapolate dispatch to the
-    device closed-form kernel (forced on CPU) and stay bit-exact with the
-    host modular-interpolation path, falling back for in-domain points."""
+    device coefficient-route kernel (forced on CPU) and stay bit-exact
+    with the host modular-interpolation path — including at in-domain
+    points, where the kernel reproduces the codeword entry exactly."""
     import numpy as np
 
     from twenty_first_tpu.math.b_field_element import P, bfe
@@ -127,7 +128,7 @@ def test_object_api_device_extrapolate_dispatch(monkeypatch):
     got_b = Polynomial.batch_coset_extrapolate(3, n, cw + cw, pts)
     assert got == want
     assert got_b == want_b
-    # in-domain point: device path declines, host value is the codeword
+    # in-domain point: the device kernel reproduces the codeword entry
     omega = int(PRIMITIVE_ROOTS[n])
     dom_pt = 3 * pow(omega, 5, P) % P
     vals = Polynomial.coset_extrapolate(3, cw, [dom_pt])

@@ -108,81 +108,69 @@ def batch_coset_extrapolate(codewords: np.ndarray, offset: int,
                             point_chunk: int = 64,
                             use_jit: bool = True) -> np.ndarray:
     """Extrapolate codeword rows over the coset `offset * <omega_n>` to
-    arbitrary OUT-OF-DOMAIN points, fully on device — the STARK
-    out-of-domain-sampling hot path (reference dispatch:
-    polynomial.rs:2117-2331; the host object API's
-    `Polynomial.coset_extrapolate` mirrors it).
+    arbitrary points, fully on device — the STARK out-of-domain-sampling
+    hot path (reference dispatch: polynomial.rs:2117-2331; the host
+    object API's `Polynomial.coset_extrapolate` mirrors it).
 
-    Uses the closed-form barycentric weights of a coset domain: with
-    Z(X) = X^n - offset^n and d_i = offset*omega^i,
-
-        f(z) = Z(z) / (n * offset^n) * sum_i c_i * d_i / (z - d_i),
-
-    so each point costs one batched inversion row + one weighted fold —
-    no interpolation, O(n) per point, batched over codeword rows AND
-    points. codewords: (rows, n); points: (m,) -> (rows, m).
-
-    Bit-exact vs interpolate-then-evaluate for points outside the coset
-    (in-domain points hit a zero denominator — use the codeword entry)."""
+    Coefficient route: ONE row-batched iNTT recovers g with
+    g(omega^i) = c_i, and f(z) = g(z/offset) is evaluated by a
+    log-doubling power table + weighted fold per point chunk. Per point
+    this is n multiplies with NO inversions — the earlier closed-form
+    barycentric kernel spent ~36 full-matrix passes in two Hillis-Steele
+    prefix-product scans per chunk (see DESIGN.md §5b); this form is
+    ~10x faster at the bench shape (2^18 -> 2^10) and, unlike
+    barycentric, is also exact AT in-domain points (no zero
+    denominators). codewords: (rows, n); points: (m,) -> (rows, m).
+    Bit-exact vs interpolate-then-evaluate."""
     cw = np.asarray(codewords, dtype=np.uint64)
     rows, n = cw.shape
     pts = np.asarray(points, dtype=np.uint64) % np.uint64(P)
     m = pts.shape[0]
     off = int(offset) % P
-    domain = gfn.mul(_pow_row(PRIMITIVE_ROOTS[n], n), np.uint64(off))
-    off_n = pow(off, n, P)
-    # per-point scale (z^n - offset^n) / (n * offset^n), vectorized host
-    zn = np.ones(m, dtype=np.uint64)
-    base = pts.copy()
-    e = n
-    while e:
-        if e & 1:
-            zn = gfn.mul(zn, base)
-        e >>= 1
-        if e:
-            base = gfn.mul(base, base)
-    scale = gfn.mul(gfn.sub(zn, np.uint64(off_n)),
-                    np.uint64(pow(n * off_n % P, P - 2, P)))
-    cw_dev = gf.to_limbs(cw)
-    dom_dev = gf.to_limbs(domain)
+    # g = iNTT(codeword) interpolates over <omega_n>; f(z) = g(z/offset)
+    coeffs = ntt_mod.ntt_values(cw, inverse=True)
+    w = gfn.mul(pts, np.uint64(pow(off, P - 2, P)))
+    b_dev = gf.to_limbs(coeffs)
     if use_jit and m > point_chunk:
         # ONE dispatch: lax.map over point chunks (each chunk's working
         # set stays bounded); pad the point count to a chunk multiple
         pad = (-m) % point_chunk
-        zp = np.concatenate([pts, np.ones(pad, dtype=np.uint64)])
-        sp = np.concatenate([scale, np.zeros(pad, dtype=np.uint64)])
-        nch = zp.shape[0] // point_chunk
-        out = _coset_extrapolate_mapped(
-            cw_dev, dom_dev,
-            gf.to_limbs(zp.reshape(nch, point_chunk)),
-            gf.to_limbs(sp.reshape(nch, point_chunk)))
+        wp = np.concatenate([w, np.zeros(pad, dtype=np.uint64)])
+        nch = wp.shape[0] // point_chunk
+        out = _coset_extrapolate_pow_mapped(
+            b_dev, gf.to_limbs(wp.reshape(nch, point_chunk)))
         return gf.from_limbs(out)[:, :m]
     out = np.empty((rows, m), dtype=np.uint64)
     for start in range(0, m, point_chunk):
-        zc = pts[start: start + point_chunk]
-        sc = scale[start: start + point_chunk]
-        chunk = _coset_extrapolate_chunk(
-            cw_dev, dom_dev, gf.to_limbs(zc), gf.to_limbs(sc),
-            use_jit=use_jit)
+        wc = w[start: start + point_chunk]
+        chunk = _coset_extrapolate_pow_chunk(b_dev, gf.to_limbs(wc),
+                                             use_jit=use_jit)
         out[:, start: start + point_chunk] = gf.from_limbs(chunk)
     return out
 
 
-def _coset_extrapolate_core(cl, ch, dl, dh, zl, zh, sl, sh):
-    """Device core: codeword limb planes (rows, n), domain (n,), point
-    chunk (c,), per-point scales (c,) -> (rows, c) values."""
-    c = zl.shape[0]
-    n = dl.shape[0]
-    diffs = gf.sub((jnp.broadcast_to(zl[:, None], (c, n)),
-                    jnp.broadcast_to(zh[:, None], (c, n))),
-                   (dl[None, :], dh[None, :]))
-    inv = gf.batch_inversion(diffs)          # 1/(z_j - d_i)
-    w = gf.mul(inv, (dl[None, :], dh[None, :]))  # d_i/(z_j - d_i)
-    terms = gf.mul((cl[:, None, :], ch[:, None, :]),
-                   (w[0][None], w[1][None]))     # (rows, c, n)
-    num = _row_field_sum(terms)                  # (rows, c)
-    return gf.mul(num, (jnp.broadcast_to(sl[None, :], num[0].shape),
-                        jnp.broadcast_to(sh[None, :], num[1].shape)))
+def _coset_extrapolate_pow_core(bl, bh, wl, wh):
+    """Device core: coefficient limb planes (rows, n), scaled point chunk
+    (c,) -> (rows, c) values g(w_j) = sum_k b_k w_j^k.
+
+    The power table W[j, k] = w_j^k is built by log-doubling
+    (concat(W, W * w^width) per level: n total multiplies per point),
+    then one weighted fold against the coefficients."""
+    n = bl.shape[-1]
+    pl = jnp.ones((wl.shape[0], 1), dtype=jnp.uint32)
+    ph = jnp.zeros((wl.shape[0], 1), dtype=jnp.uint32)
+    sl, sh = wl, wh                       # w^width, width = current table
+    width = 1
+    while width < n:
+        tl, th = gf.mul((pl, ph), (sl[:, None], sh[:, None]))
+        pl = jnp.concatenate([pl, tl], axis=-1)
+        ph = jnp.concatenate([ph, th], axis=-1)
+        width *= 2
+        if width < n:
+            sl, sh = gf.mul((sl, sh), (sl, sh))
+    terms = gf.mul((bl[:, None, :], bh[:, None, :]),
+                   (pl[None], ph[None]))  # (rows, c, n)
+    return _row_field_sum(terms)
 
 
 def batch_coset_extrapolate_xfe(codewords: np.ndarray, offset: int,
@@ -194,11 +182,12 @@ def batch_coset_extrapolate_xfe(codewords: np.ndarray, offset: int,
     sampled at an xfe challenge; x_field_element.rs lift semantics).
 
     codewords: (rows, n) base-field or (rows, n, 3) extension-field values;
-    points: (m, 3) xfe values, all outside the lifted coset domain.
-    Returns (rows, m, 3). Same closed-form coset-weight identity as
-    batch_coset_extrapolate, with the divided differences, inversions and
-    folds in the extension field (gf_ext)."""
-    from . import gf_ext
+    points: (m, 3) xfe values (in- or out-of-domain). Returns (rows, m, 3).
+    Same coefficient route as batch_coset_extrapolate (ONE row-batched
+    iNTT + log-doubling power tables), with the point powers and folds in
+    the extension field (gf_ext); the coefficients stay base-field planes
+    when the codewords are base-field (the reference's
+    `MulAssign<BFieldElement>` structure)."""
     from . import xgf_numpy as xgf
 
     cw = np.asarray(codewords, dtype=np.uint64)
@@ -207,43 +196,25 @@ def batch_coset_extrapolate_xfe(codewords: np.ndarray, offset: int,
     pts = np.asarray(points, dtype=np.uint64) % np.uint64(P)
     m = pts.shape[0]
     off = int(offset) % P
-    domain = gfn.mul(_pow_row(PRIMITIVE_ROOTS[n], n), np.uint64(off))
-    off_n = pow(off, n, P)
-    # host: scale_j = (z_j^n - offset^n) / (n * offset^n) in the extension
-    zn = np.zeros((m, 3), dtype=np.uint64)
-    zn[:, 0] = 1
-    base = pts.copy()
-    e = n
-    while e:
-        if e & 1:
-            zn = xgf.mul(zn, base)
-        e >>= 1
-        if e:
-            base = xgf.mul(base, base)
-    zn[:, 0] = gfn.sub(zn[:, 0], np.uint64(off_n))
-    scale = xgf.mul_base(zn, np.uint64(pow(n * off_n % P, P - 2, P)))
-    # device layouts: codewords (rows[,3],n) with component axis -2;
-    # points/scales as (m, 3) limb pairs
+    # g = iNTT(codeword) over <omega_n> (componentwise for xfe rows);
+    # f(z) = g(z/offset)
     if cw_x:
-        cw_dev = gf.to_limbs(np.ascontiguousarray(np.swapaxes(cw, 1, 2)))
+        coeffs = ntt_mod.ntt_values(
+            np.ascontiguousarray(np.swapaxes(cw, 1, 2)), inverse=True)
     else:
-        cw_dev = gf.to_limbs(cw)
-    dom_dev = gf.to_limbs(domain)
+        coeffs = ntt_mod.ntt_values(cw, inverse=True)
+    b_dev = gf.to_limbs(coeffs)
+    w = xgf.mul_base(pts, np.uint64(pow(off, P - 2, P)))
     pad = (-m) % point_chunk
-    zp = np.concatenate([pts, np.ones((pad, 3), dtype=np.uint64)])
-    sp = np.concatenate([scale, np.zeros((pad, 3), dtype=np.uint64)])
-    nch = zp.shape[0] // point_chunk
-    args = (cw_dev, dom_dev,
-            gf.to_limbs(zp.reshape(nch, point_chunk, 3)),
-            gf.to_limbs(sp.reshape(nch, point_chunk, 3)), cw_x)
+    wp = np.concatenate([w, np.zeros((pad, 3), dtype=np.uint64)])
+    nch = wp.shape[0] // point_chunk
+    wcs = gf.to_limbs(wp.reshape(nch, point_chunk, 3))
     if use_jit:
-        out = _coset_extrapolate_xfe_mapped(*args)
+        out = _coset_extrapolate_xfe_pow_mapped(b_dev, wcs, cw_x)
     else:
         chunks = [
-            _coset_extrapolate_core_xfe(
-                cw_dev[0], cw_dev[1], dom_dev[0], dom_dev[1],
-                args[2][0][i], args[2][1][i], args[3][0][i], args[3][1][i],
-                cw_x)
+            _coset_extrapolate_xfe_pow_core(
+                b_dev[0], b_dev[1], wcs[0][i], wcs[1][i], cw_x)
             for i in range(nch)
         ]
         out = (jnp.concatenate([c[0] for c in chunks], axis=1),
@@ -252,115 +223,104 @@ def batch_coset_extrapolate_xfe(codewords: np.ndarray, offset: int,
     return vals[:, :m]
 
 
-def _coset_extrapolate_core_xfe(cl, ch, dl, dh, zl, zh, sl, sh,
-                                cw_x: bool):
-    """Device core, extension-field points: codeword limb planes
-    ((rows, n) base or (rows, 3, n) xfe), domain (n,), point chunk (c, 3),
-    scales (c, 3) -> (rows, c, 3) values."""
+def _coset_extrapolate_xfe_pow_core(bl, bh, wl, wh, cw_x: bool):
+    """Device core, extension-field points: coefficient limb planes
+    ((rows, n) base or (rows, 3, n) xfe), scaled point chunk (c, 3) ->
+    (rows, c, 3) values via log-doubling xfe power tables."""
     from . import gf_ext
 
-    c = zl.shape[0]
-    n = dl.shape[0]
-    d_b = (dl[None, :], dh[None, :])
-    # diffs (c, 3, n): component 0 is z0 - d_i; components 1, 2 broadcast
-    c0 = gf.sub((jnp.broadcast_to(zl[:, 0, None], (c, n)),
-                 jnp.broadcast_to(zh[:, 0, None], (c, n))), d_b)
-    diffs = (
-        jnp.stack([c0[0],
-                   jnp.broadcast_to(zl[:, 1, None], (c, n)),
-                   jnp.broadcast_to(zl[:, 2, None], (c, n))], axis=-2),
-        jnp.stack([c0[1],
-                   jnp.broadcast_to(zh[:, 1, None], (c, n)),
-                   jnp.broadcast_to(zh[:, 2, None], (c, n))], axis=-2),
-    )
-    inv = gf_ext.batch_inversion(diffs, axis=-1)      # (c, 3, n)
-    w = gf_ext.mul_base(inv, (dl, dh))                # d_i/(z_j - d_i)
+    n = bl.shape[-1]
+    c = wl.shape[0]
+    # power table (c, 3, width): starts at [w^0] = [1, 0, 0]
+    pl = jnp.zeros((c, 3, 1), dtype=jnp.uint32).at[:, 0, :].set(1)
+    ph = jnp.zeros((c, 3, 1), dtype=jnp.uint32)
+    sl, sh = wl[..., None], wh[..., None]    # w^width as (c, 3, 1)
+    width = 1
+    while width < n:
+        tl, th = gf_ext.mul((pl, ph), (sl, sh))
+        pl = jnp.concatenate([pl, tl], axis=-1)
+        ph = jnp.concatenate([ph, th], axis=-1)
+        width *= 2
+        if width < n:
+            sl, sh = gf_ext.mul((sl, sh), (sl, sh))
     if cw_x:
-        terms = gf_ext.mul((w[0][None], w[1][None]),
-                           (cl[:, None], ch[:, None]))  # (rows, c, 3, n)
+        terms = gf_ext.mul((pl[None], ph[None]),
+                           (bl[:, None], bh[:, None]))   # (rows, c, 3, n)
     else:
-        terms = gf.mul((w[0][None], w[1][None]),
-                       (cl[:, None, None, :], ch[:, None, None, :]))
-    num = _row_field_sum(terms)                       # (rows, c, 3)
-    out = gf_ext.mul((num[0][..., None], num[1][..., None]),
-                     (sl[None, :, :, None], sh[None, :, :, None]))
-    return out[0][..., 0], out[1][..., 0]
+        terms = gf_ext.mul_base((pl[None], ph[None]),
+                                (bl[:, None, :], bh[:, None, :]))
+    return _row_field_sum(terms)                         # (rows, c, 3)
 
 
-_coset_extrapolate_xfe_map_jit = {}
+_coset_extrapolate_xfe_pow_map_jit = {}
 
 
-def _coset_extrapolate_xfe_mapped(cw, dom, zcs, scs, cw_x: bool):
+def _coset_extrapolate_xfe_pow_mapped(b, wcs, cw_x: bool):
     """All xfe point chunks in one dispatch (lax.map over the chunk axis).
-    zcs/scs: (nch, c, 3) limb pairs -> (rows, nch*c, 3) limb pair."""
+    wcs: (nch, c, 3) limb pair of scaled points -> (rows, nch*c, 3)."""
     key = bool(cw_x)
-    if key not in _coset_extrapolate_xfe_map_jit:
+    if key not in _coset_extrapolate_xfe_pow_map_jit:
         import jax
 
-        def run(cl, ch, dl, dh, zls, zhs, sls, shs, _cw_x=key):
+        def run(bl, bh, wls, whs, _cw_x=key):
             def body(args):
-                zl, zh, sl, sh = args
-                return _coset_extrapolate_core_xfe(cl, ch, dl, dh, zl, zh,
-                                                   sl, sh, _cw_x)
+                wl, wh = args
+                return _coset_extrapolate_xfe_pow_core(bl, bh, wl, wh,
+                                                       _cw_x)
 
-            ol, oh = jax.lax.map(body, (zls, zhs, sls, shs))
+            ol, oh = jax.lax.map(body, (wls, whs))
             # (nch, rows, c, 3) -> (rows, nch*c, 3)
             ol = jnp.moveaxis(ol, 0, 1)
             oh = jnp.moveaxis(oh, 0, 1)
             return (ol.reshape(ol.shape[0], -1, 3),
                     oh.reshape(oh.shape[0], -1, 3))
 
-        _coset_extrapolate_xfe_map_jit[key] = jax.jit(run)
-    return _coset_extrapolate_xfe_map_jit[key](
-        cw[0], cw[1], dom[0], dom[1], zcs[0], zcs[1], scs[0], scs[1])
+        _coset_extrapolate_xfe_pow_map_jit[key] = jax.jit(run)
+    return _coset_extrapolate_xfe_pow_map_jit[key](
+        b[0], b[1], wcs[0], wcs[1])
 
 
 # one stable jit wrapper: per-shape executables cache inside it (a fresh
 # jit object per call would recompile every chunk)
-_coset_extrapolate_jit = None
-_coset_extrapolate_map_jit = None
+_coset_extrapolate_pow_jit = None
+_coset_extrapolate_pow_map_jit = None
 
 
-def _coset_extrapolate_mapped(cw, dom, zcs, scs):
+def _coset_extrapolate_pow_mapped(b, wcs):
     """All point chunks in one dispatch: lax.map over the chunk axis.
 
-    zcs/scs: (nch, c) limb pairs -> (rows, nch*c) limb pair."""
-    global _coset_extrapolate_map_jit
-    if _coset_extrapolate_map_jit is None:
+    wcs: (nch, c) limb pair of scaled points -> (rows, nch*c) limb pair."""
+    global _coset_extrapolate_pow_map_jit
+    if _coset_extrapolate_pow_map_jit is None:
         import jax
 
-        def run(cl, ch, dl, dh, zls, zhs, sls, shs):
+        def run(bl, bh, wls, whs):
             def body(args):
-                zl, zh, sl, sh = args
-                return _coset_extrapolate_core(cl, ch, dl, dh, zl, zh,
-                                               sl, sh)
+                wl, wh = args
+                return _coset_extrapolate_pow_core(bl, bh, wl, wh)
 
-            ol, oh = jax.lax.map(body, (zls, zhs, sls, shs))
+            ol, oh = jax.lax.map(body, (wls, whs))
             # (nch, rows, c) -> (rows, nch*c)
             ol = jnp.moveaxis(ol, 0, 1)
             oh = jnp.moveaxis(oh, 0, 1)
             return (ol.reshape(ol.shape[0], -1),
                     oh.reshape(oh.shape[0], -1))
 
-        _coset_extrapolate_map_jit = jax.jit(run)
-    return _coset_extrapolate_map_jit(
-        cw[0], cw[1], dom[0], dom[1], zcs[0], zcs[1], scs[0], scs[1])
+        _coset_extrapolate_pow_map_jit = jax.jit(run)
+    return _coset_extrapolate_pow_map_jit(b[0], b[1], wcs[0], wcs[1])
 
 
-def _coset_extrapolate_chunk(cw, dom, zc, sc, use_jit: bool = True):
-    # use_jit=False runs the ops eagerly: XLA:CPU's LLVM backend takes
-    # minutes on the fully-unrolled inversion-chain graph (the TPU
-    # compiler takes seconds) — tests on the CPU backend pass False
-    global _coset_extrapolate_jit
+def _coset_extrapolate_pow_chunk(b, wc, use_jit: bool = True):
+    # use_jit=False runs the ops eagerly (CPU-backend tests); the jitted
+    # path is for real accelerators
+    global _coset_extrapolate_pow_jit
     if not use_jit:
-        return _coset_extrapolate_core(
-            cw[0], cw[1], dom[0], dom[1], zc[0], zc[1], sc[0], sc[1])
-    if _coset_extrapolate_jit is None:
+        return _coset_extrapolate_pow_core(b[0], b[1], wc[0], wc[1])
+    if _coset_extrapolate_pow_jit is None:
         import jax
 
-        _coset_extrapolate_jit = jax.jit(_coset_extrapolate_core)
-    return _coset_extrapolate_jit(
-        cw[0], cw[1], dom[0], dom[1], zc[0], zc[1], sc[0], sc[1])
+        _coset_extrapolate_pow_jit = jax.jit(_coset_extrapolate_pow_core)
+    return _coset_extrapolate_pow_jit(b[0], b[1], wc[0], wc[1])
 
 
 def _row_field_sum(x):

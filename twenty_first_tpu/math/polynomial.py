@@ -82,31 +82,6 @@ def _fmul_scalar(arr, s, x: bool):
     return gfn.mul(arr, s)
 
 
-def _pow_scalar_rows(base: np.ndarray, e: int) -> np.ndarray:
-    """Elementwise base-field power of a (m,) array by square-and-multiply."""
-    acc = np.ones_like(base)
-    b = base.copy()
-    while e:
-        if e & 1:
-            acc = gfn.mul(acc, b)
-        b = gfn.mul(b, b)
-        e >>= 1
-    return acc
-
-
-def _pow_scalar_rows_x(base: np.ndarray, e: int) -> np.ndarray:
-    """Elementwise extension-field power of a (m, 3) array."""
-    acc = np.zeros_like(base)
-    acc[:, 0] = 1
-    b = base.copy()
-    while e:
-        if e & 1:
-            acc = xgf.mul(acc, b)
-        b = xgf.mul(b, b)
-        e >>= 1
-    return acc
-
-
 def _finv(arr, x: bool):
     if x:
         return xgf.inverse(arr)
@@ -1712,11 +1687,10 @@ class Polynomial:
     @staticmethod
     def _try_device_coset_extrapolate(domain_offset, codeword, points
                                       ) -> list | None:
-        """Route big extrapolations through poly_batch's closed-form device
-        kernels. Returns None when the host path should run instead: small
-        codewords, CPU-only backends (unless forced by
-        TWENTY_FIRST_TPU_EXTRAPOLATE_DEVICE=1), or in-domain points (the
-        barycentric weight has a zero denominator there)."""
+        """Route big extrapolations through poly_batch's coefficient-route
+        device kernels. Returns None when the host path should run
+        instead: small codewords, or CPU-only backends (unless forced by
+        TWENTY_FIRST_TPU_EXTRAPOLATE_DEVICE=1)."""
         if not Polynomial._device_extrapolate_allowed(len(codeword)):
             return None
         cw, cx = _to_field_array(codeword)
@@ -1753,25 +1727,16 @@ class Polynomial:
     def _device_extrapolate_rows(off: int, cw_rows: np.ndarray, cx: bool,
                                  pts: np.ndarray, px: bool
                                  ) -> np.ndarray | None:
-        """One device dispatch for (rows, n) codewords at (m,) points, or
-        None when a point lies on the coset (zero barycentric denominator:
-        z on the coset iff z^n == offset^n)."""
-        n = cw_rows.shape[1]
-        off_n = pow(off, n, P)
-        if px:
-            zn = _pow_scalar_rows_x(pts, n)
-            in_dom = (zn[:, 1] == 0) & (zn[:, 2] == 0) & \
-                (zn[:, 0] == np.uint64(off_n))
-        else:
-            zn = _pow_scalar_rows(pts, n)
-            in_dom = zn == np.uint64(off_n)
-        if bool(np.any(in_dom)):
-            return None
+        """One device dispatch for (rows, n) codewords at (m,) points.
+
+        Both kernels take the coefficient route (one row-batched iNTT +
+        power-table evaluation), which is exact at every point —
+        including points ON the coset — so there is no host fallback."""
         from . import poly_batch
 
-        # XLA:CPU's LLVM pass takes minutes on the unrolled inversion
-        # chain (see tests/test_poly_batch.py) — run the kernel eagerly
-        # there; the jitted one-dispatch path is for real accelerators
+        # XLA:CPU's LLVM pass is slow on the fully-unrolled graphs —
+        # run the kernel eagerly there; the jitted one-dispatch path is
+        # for real accelerators
         try:
             import jax
             jit = jax.default_backend() != "cpu"
