@@ -99,19 +99,22 @@ def test_mds_circulancy():
 
 
 def test_round_constants_derivation():
-    # tip5/mod.rs:1056-1085 `round_constants_are_correct`: RC[i] derives
-    # from blake3("Tip5" || i). blake3 is not in this environment's stdlib;
-    # run the derivation when available, always check shape + canonicity.
+    # tip5/mod.rs:1056-1085 `round_constants_are_correct`: RC[i] is
+    # blake3("Tip5" || i), first 16 bytes as a little-endian u128, mod p,
+    # interpreted as the RAW MONTGOMERY word (`BFieldElement::from_raw_u64`)
+    # — so the canonical value is that residue times R^-1 = 2^-64 mod p.
+    # Runs on the vendored pure-Python blake3 (tip5/blake3_mini.py), itself
+    # pinned to the official empty-input test vector.
+    from twenty_first_tpu.tip5.blake3_mini import blake3
     from twenty_first_tpu.tip5.constants import ROUND_CONSTANTS
 
     assert len(ROUND_CONSTANTS) == 80
     assert all(0 <= int(c) < P for c in ROUND_CONSTANTS)
-    blake3 = pytest.importorskip("blake3")
+    r_inv = pow(1 << 64, P - 2, P)
     for i, want in enumerate(ROUND_CONSTANTS):
-        material = b"Tip5" + bytes([i])
-        digest = blake3.blake3(material).digest(length=16)
-        value = int.from_bytes(digest[:8], "little") % P
-        assert value == int(want)
+        digest = blake3(b"Tip5" + bytes([i]))
+        raw = int.from_bytes(digest[:16], "little") % P
+        assert raw * r_inv % P == int(want)
 
 
 def test_sample_indices_upper_bound_and_determinism():

@@ -1672,8 +1672,10 @@ class Polynomial:
                           ) -> list:
         """Extrapolate a codeword over coset `domain_offset * <omega>` to
         arbitrary points; dispatch per polynomial.rs:2117-2127, plus a
-        device fast path (one closed-form barycentric dispatch) when an
-        accelerator backend is attached and every point is out-of-domain."""
+        device fast path (coefficient route: one row-batched iNTT + power
+        -table evaluation, exact at every point — including points on the
+        coset) when an accelerator backend is attached and the codeword is
+        large enough (see _device_extrapolate_allowed)."""
         dev = Polynomial._try_device_coset_extrapolate(
             domain_offset, codeword, points)
         if dev is not None:

@@ -1,3 +1,28 @@
-"""Pallas TPU kernels for the hot compute paths."""
+"""EXPERIMENTAL kernel lab — measured alternatives to the production paths.
+
+Nothing in this package is on a default execution path. Each module is a
+hand-written Pallas/MXU kernel that was built, validated bit-exact against
+the XLA-fused production kernels, measured on TPU v5e, and found SLOWER
+(numbers in DESIGN.md §5). They are kept in-tree as frozen experiments:
+
+  * `tip5_pallas` — narrow (B, 16) and lane-dense (8 states/row) Pallas Tip5
+    permutations (3.9M / 29M perms/s vs ~24M for the XLA path's interleaved
+    median, which also wins on fusion with neighboring ops).
+  * `tip5_mxu` — exact bf16 block-circulant MDS matmuls on the MXU
+    (24M perms/s; the u32<->bf16 boundaries cost more HBM traffic than the
+    saved VPU ops).
+  * `ntt_pallas` — fused-pass NTT kernels keeping whole butterfly pipelines
+    in VMEM (12-52 ms per 2^24 pass vs 4.2 ms for the slab-mapped XLA pass;
+    Mosaic's u32 codegen is ~3x behind XLA's fusion on the butterfly op mix).
+
+Correctness coverage: tests/test_pallas_kernels.py (runs in CI on the CPU
+interpreter; set TWENTY_FIRST_TPU_PALLAS_HW=1 to run the same bit-exactness
+checks on real TPU hardware — bench.py does this in its smoke pass).
+
+If a future hardware generation or Mosaic release changes the codegen
+picture, these are the starting points; promote by wiring a dispatch in the
+owning production module (tip5/permutation.py, math/ntt.py), not by
+importing from here.
+"""
 
 from . import tip5_pallas  # noqa: F401
