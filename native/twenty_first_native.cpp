@@ -17,6 +17,7 @@
 #include <cstdint>
 #include <cstddef>
 #include <cstring>
+#include <vector>
 
 using u64 = uint64_t;
 using u128 = __uint128_t;
@@ -83,9 +84,135 @@ void gl_mul_arrays(const u64* a, const u64* b, u64* out, size_t n) {
   for (size_t i = 0; i < n; i++) out[i] = gl_mul(a[i], b[i]);
 }
 
+// Extension-field multiply on interleaved (n, 3) arrays: the reference's
+// explicit Shah-polynomial reduction (x_field_element.rs:512-535):
+//   r0 = s0*o0 - s2*o1 - s1*o2
+//   r1 = s1*o0 + s0*o1 + s2*o1 + (s1 - s2)*o2
+//   r2 = s2*o0 + s1*o1 + (s0 + s2)*o2
+void gl_xfe_mul_arrays(const u64* a, const u64* b, u64* out, size_t n) {
+  for (size_t i = 0; i < n; i++) {
+    const u64 s0 = a[3 * i], s1 = a[3 * i + 1], s2 = a[3 * i + 2];
+    const u64 o0 = b[3 * i], o1 = b[3 * i + 1], o2 = b[3 * i + 2];
+    out[3 * i] = gl_sub(gl_mul(s0, o0),
+                        gl_add(gl_mul(s2, o1), gl_mul(s1, o2)));
+    u64 r1 = gl_add(gl_mul(s1, o0), gl_mul(s0, o1));
+    r1 = gl_add(r1, gl_mul(s2, o1));
+    out[3 * i + 1] = gl_add(r1, gl_mul(gl_sub(s1, s2), o2));
+    u64 r2 = gl_add(gl_mul(s2, o0), gl_mul(s1, o1));
+    out[3 * i + 2] = gl_add(r2, gl_mul(gl_add(s0, s2), o2));
+  }
+}
+
+void gl_batch_inverse(const u64* in, u64* out, size_t n);
+
+// Zerofier-based O(n^2) Lagrange interpolation (polynomial.rs:1565-1607
+// semantics): out[0..n) = coefficients of the unique degree-<n polynomial
+// through (dom[i], vals[i]). Caller guarantees distinct domain points.
+void gl_lagrange_interpolate(const u64* dom, const u64* vals, size_t n,
+                             u64* out) {
+  if (n == 0) return;
+  // zerofier z = prod_i (x - dom[i]), degree n
+  std::vector<u64> z(n + 1, 0);
+  z[0] = 1;
+  for (size_t i = 0; i < n; i++) {
+    const u64 d = dom[i];
+    u64 prev = 0;
+    for (size_t j = 0; j <= i + 1; j++) {
+      const u64 orig = z[j];
+      z[j] = gl_sub(prev, gl_mul(d, orig));
+      prev = orig;
+    }
+  }
+  // denominators w[i] = Z'(dom[i]) = prod_{j != i} (dom[i] - dom[j])
+  std::vector<u64> dz(n);
+  for (size_t j = 0; j < n; j++) {
+    dz[j] = gl_mul(z[j + 1], (u64)((j + 1) % P));
+  }
+  // Both per-point O(n) loops below are serial mul->add dependency chains;
+  // interleaving 4 points per pass hides the multiply latency (~2x).
+  std::vector<u64> w(n);
+  size_t i = 0;
+  for (; i + 4 <= n; i += 4) {
+    const u64 d0 = dom[i], d1 = dom[i + 1], d2 = dom[i + 2], d3 = dom[i + 3];
+    u64 a0 = dz[n - 1], a1 = a0, a2 = a0, a3 = a0;
+    for (size_t j = n - 1; j-- > 0;) {
+      const u64 t = dz[j];
+      a0 = gl_add(gl_mul(a0, d0), t);
+      a1 = gl_add(gl_mul(a1, d1), t);
+      a2 = gl_add(gl_mul(a2, d2), t);
+      a3 = gl_add(gl_mul(a3, d3), t);
+    }
+    w[i] = a0; w[i + 1] = a1; w[i + 2] = a2; w[i + 3] = a3;
+  }
+  for (; i < n; i++) {
+    u64 acc = dz[n - 1];
+    for (size_t j = n - 1; j-- > 0;) acc = gl_add(gl_mul(acc, dom[i]), dz[j]);
+    w[i] = acc;
+  }
+  // gl_batch_inverse writes out[i] before reading in[i] — no aliasing
+  std::vector<u64> w_inv(n);
+  gl_batch_inverse(w.data(), w_inv.data(), n);
+  w.swap(w_inv);
+  // accumulate vals[i]/w[i] * Z/(x - dom[i]) via synthetic division
+  for (size_t j = 0; j < n; j++) out[j] = 0;
+  i = 0;
+  for (; i + 4 <= n; i += 4) {
+    const u64 c0 = gl_mul(vals[i], w[i]);
+    const u64 c1 = gl_mul(vals[i + 1], w[i + 1]);
+    const u64 c2 = gl_mul(vals[i + 2], w[i + 2]);
+    const u64 c3 = gl_mul(vals[i + 3], w[i + 3]);
+    const u64 d0 = dom[i], d1 = dom[i + 1], d2 = dom[i + 2], d3 = dom[i + 3];
+    u64 q0 = z[n], q1 = q0, q2 = q0, q3 = q0;
+    for (size_t j = n; j-- > 0;) {
+      u64 acc = gl_add(out[j], gl_mul(c0, q0));
+      acc = gl_add(acc, gl_mul(c1, q1));
+      acc = gl_add(acc, gl_mul(c2, q2));
+      out[j] = gl_add(acc, gl_mul(c3, q3));
+      if (j) {
+        const u64 t = z[j];
+        q0 = gl_add(t, gl_mul(d0, q0));
+        q1 = gl_add(t, gl_mul(d1, q1));
+        q2 = gl_add(t, gl_mul(d2, q2));
+        q3 = gl_add(t, gl_mul(d3, q3));
+      }
+    }
+  }
+  for (; i < n; i++) {
+    const u64 c = gl_mul(vals[i], w[i]);
+    const u64 d = dom[i];
+    u64 q = z[n];  // leading coefficient of the quotient (= 1)
+    for (size_t j = n; j-- > 0;) {
+      out[j] = gl_add(out[j], gl_mul(c, q));
+      if (j) q = gl_add(z[j], gl_mul(d, q));
+    }
+  }
+}
+
 u64 gl_mul_scalar(u64 a, u64 b) { return gl_mul(a, b); }
 u64 gl_inv_scalar(u64 a) { return gl_inv(a); }
 u64 gl_pow_scalar(u64 a, u64 e) { return gl_pow(a, e); }
+
+// Zero-tolerant batch inversion: inverse-or-zero per element
+// (traits.rs:39-45 semantics) — zeros pass through the prefix product as 1
+// and are zeroed on the way out.
+void gl_batch_inverse_or_zero(const u64* in, u64* out, size_t n) {
+  if (n == 0) return;
+  u64 acc = 1;
+  for (size_t i = 0; i < n; i++) {
+    out[i] = acc;  // prefix product before element i (zeros skipped)
+    if (in[i] != 0) acc = gl_mul(acc, in[i]);
+  }
+  acc = gl_inv(acc);
+  for (size_t i = n; i-- > 0;) {
+    if (in[i] == 0) {
+      out[i] = 0;
+      continue;
+    }
+    u64 tmp = gl_mul(acc, in[i]);
+    out[i] = gl_mul(acc, out[i]);
+    acc = tmp;
+  }
+}
 
 // Montgomery batch inversion (one inverse + 3n muls).
 void gl_batch_inverse(const u64* in, u64* out, size_t n) {

@@ -174,7 +174,10 @@ class TestBatchFastInterpolate:
             shared = calls["n"]
             calls["n"] = 0
             for vals in batches:
-                Polynomial.fast_interpolate(domain, vals)
+                # single-element batched call: same tree machinery without
+                # sharing (plain fast_interpolate would short-circuit to the
+                # native Lagrange at this size and count zero _mul_rows)
+                Polynomial.batch_fast_interpolate(domain, [vals])
             individual = calls["n"]
         finally:
             Polynomial._mul_rows = staticmethod(orig)

@@ -29,12 +29,14 @@ EPSILON = np.uint64(0xFFFF_FFFF)
 _M32 = np.uint64(0xFFFF_FFFF)
 _S32 = np.uint64(32)
 
-# Large same-shape elementwise ops route through the native C++ core
-# (u128 arithmetic, one pass) — measured 3-19x over the multi-pass numpy
-# limb dance, crossing over around 2^11 elements. Disable with
-# TWENTY_FIRST_TPU_NATIVE_HOST=0. The numpy forms below remain the
-# reference oracle (and the fallback), bit-identical on all u64 inputs.
-_NATIVE_MIN = 1 << 11
+# Same-shape elementwise ops route through the native C++ core (u128
+# arithmetic, one pass). Measured (this host): native wins at EVERY size —
+# 3x at n=16 (10us vs 31us: the numpy limb dance is ~13 python-dispatched
+# passes vs one ctypes call) to 11x at n=65536 — so the threshold only
+# excludes scalars/tiny shapes where ctypes pointer setup isn't worth it.
+# Disable with TWENTY_FIRST_TPU_NATIVE_HOST=0. The numpy forms below remain
+# the reference oracle (and the fallback), bit-identical on all u64 inputs.
+_NATIVE_MIN = 16
 _NATIVE = None
 
 
@@ -59,15 +61,15 @@ def _native_binop(name: str, a: np.ndarray, b: np.ndarray):
     if nat is False:
         return None
     if a.shape != b.shape:
-        # a broadcast copy is ONE pass; the numpy mul fallback is ~13 —
-        # worth materializing for mul, not for the cheap add/sub forms
-        if name != "gl_mul_arrays":
-            return None
+        # a broadcast copy is ONE numpy pass; the numpy fallbacks are ~13
+        # passes (mul) / ~4 (add, sub), so materializing pays for all three
+        # once the result is a few cache lines
         try:
             shape = np.broadcast_shapes(a.shape, b.shape)
         except ValueError:
             return None
-        if int(np.prod(shape)) < _NATIVE_MIN:
+        if int(np.prod(shape)) < (_NATIVE_MIN if name == "gl_mul_arrays"
+                                  else 4 * _NATIVE_MIN):
             return None
         a = np.ascontiguousarray(np.broadcast_to(a, shape))
         b = np.ascontiguousarray(np.broadcast_to(b, shape))
@@ -160,8 +162,15 @@ def pow_scalar(base: int, e: int) -> int:
 
 def inverse(a):
     """Elementwise inverse-or-zero via the fixed Goldilocks addition chain
-    for x^(p-2) (b_field_element.rs:252-284), fully vectorized. 0 -> 0."""
+    for x^(p-2) (b_field_element.rs:252-284), fully vectorized. 0 -> 0.
+
+    Arrays route through the native zero-tolerant batch inversion (one
+    inverse + 3n muls in one C pass vs the chain's ~72 vector passes)."""
     x = np.asarray(a, dtype=np.uint64)
+    if x.size >= 32:
+        nat = _native_mod()
+        if nat is not False:
+            return nat.batch_inverse_or_zero(x).reshape(x.shape)
 
     def nsquare(v, n):
         for _ in range(n):

@@ -1355,10 +1355,23 @@ def intt_limbs(x):
 
 # -- host-convenience wrappers ---------------------------------------------
 
-# Below this total element count the vectorized host-numpy path beats the
-# device round trip (transfer + dispatch ~0.5-1 ms through the tunnel);
-# above it the TPU kernels win.
-HOST_NTT_MAX_ELEMS = 1 << 15
+# Below this total element count a one-shot host-array transform stays on
+# the host (native C++ row NTT); above it, it pays the device round trip.
+# This is the library's host-vs-device crossover knob (SURVEY §2a: the
+# reference's seq/par cutoffs become host/device thresholds here), and it is
+# transfer-bandwidth-bound, not compute-bound: through this environment's
+# remote-TPU tunnel (~20-40 MB/s effective), measured one-shot e2e times are
+#   2^16: device 100 ms vs native host 6.6 ms
+#   2^18: device 165 ms vs native host 31 ms
+#   2^20: device 850 ms vs native host 133 ms
+#   2^22: device (extrapolated >3 s) vs native host 667 ms
+# so the default keeps one-shot transforms <= 2^22 on host. On a directly
+# attached TPU (PCIe ~10+ GB/s) the crossover is near 2^16 — override with
+# TWENTY_FIRST_TPU_HOST_NTT_MAX_ELEMS. Device-resident pipelines
+# (ntt_limbs*, poly_batch, parallel/*) never consult this: they have no
+# transfer to amortize.
+HOST_NTT_MAX_ELEMS = int(os.environ.get(
+    "TWENTY_FIRST_TPU_HOST_NTT_MAX_ELEMS", str(1 << 22)))
 
 
 @functools.lru_cache(maxsize=64)

@@ -17,6 +17,7 @@ as BFieldElement/XFieldElement lists) materialized only at the boundary.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Iterable, Sequence
 
@@ -27,6 +28,7 @@ from . import gf_numpy as gfn
 from . import xgf_numpy as xgf
 from . import ntt as ntt_mod
 from .b_field_element import BFieldElement, bfe, GENERATOR
+from .field_list import FieldElements
 from .x_field_element import XFieldElement
 from .zerofier_tree import RECURSION_CUTOFF_THRESHOLD, ZerofierTree
 
@@ -59,6 +61,15 @@ BATCH_INTERPOLATE_CUTOFF = 16
 # ---------------------------------------------------------------------------
 # array-level field helpers (field selected by the `x` flag: extension?)
 # ---------------------------------------------------------------------------
+
+
+def _native_host_on() -> bool:
+    """True when the native C++ host core is loaded and not disabled."""
+    if os.environ.get("TWENTY_FIRST_TPU_NATIVE_HOST") == "0":
+        return False
+    from .. import native as _nat
+
+    return _nat.available()
 
 
 def _zeros(n: int, x: bool) -> np.ndarray:
@@ -194,14 +205,18 @@ def _obj(row, x: bool):
     return BFieldElement(int(row))
 
 
-def _objs_from_array(arr: np.ndarray, x: bool) -> list:
-    if x:
-        return [XFieldElement((int(r[0]), int(r[1]), int(r[2]))) for r in arr]
-    return [BFieldElement(int(v)) for v in arr]
+def _objs_from_array(arr: np.ndarray, x: bool) -> FieldElements:
+    """Scalar field elements over a canonical uint64 array — returned as the
+    lazy FieldElements sequence: materializing 2^16 BFieldElement objects
+    measured 33-85 ms (the NTT producing them is 7 ms), and wholesale
+    consumers re-enter `_to_field_array` which reads the backing array."""
+    return FieldElements(arr, x)
 
 
 def _to_field_array(seq) -> tuple[np.ndarray, bool]:
     """Sequence of field elements / ints (or ndarray) -> (arr, is_extension)."""
+    if isinstance(seq, FieldElements):
+        return seq.to_array(), seq.is_extension
     if isinstance(seq, np.ndarray):
         if seq.ndim == 2 and seq.shape[-1] == 3:
             return seq.astype(np.uint64, copy=False), True
@@ -251,12 +266,36 @@ def _powers_arr(s: np.ndarray, n: int, x: bool) -> np.ndarray:
         return out
     out[0, 0] = 1
     filled = 1
+    # maintain step = s^filled by squaring (filled only ever doubles until
+    # the final partial block) instead of recomputing s^filled from scratch
+    # per level — the from-scratch _scalar_pow chain was ~120 ms across one
+    # clean_divide's three scale() calls.
+    step = tuple(int(v) for v in np.asarray(s, dtype=np.uint64).reshape(3))
     while filled < n:
         take = min(filled, n - filled)
-        step = _scalar_pow(s, filled, True)
-        out[filled: filled + take] = xgf.mul(out[:take], step[None, :])
+        # materialize the broadcast so the product is a same-shape pair
+        # (native one-pass path); a (take,3)x(1,3) broadcast product falls
+        # back to ~13 python-dispatched numpy passes per component
+        step_rows = np.ascontiguousarray(np.broadcast_to(
+            np.array(step, dtype=np.uint64), (take, 3)))
+        out[filled: filled + take] = xgf.mul(out[:take], step_rows)
         filled += take
+        if filled < n:
+            # python-int squaring: a (3,)-shaped xgf.mul costs ~9 numpy
+            # array ops (~80 us); the int formula is ~2 us
+            step = _xfe_mul_ints(step, step)
     return out
+
+
+def _xfe_mul_ints(a: tuple, b: tuple) -> tuple:
+    """Scalar extension-field product on python ints
+    (x_field_element.rs:512-535 formula, mod x^3 - x + 1)."""
+    s0, s1, s2 = a
+    o0, o1, o2 = b
+    r0 = (s0 * o0 - s2 * o1 - s1 * o2) % P
+    r1 = (s1 * o0 + s0 * o1 + s2 * o1 + (s1 - s2) * o2) % P
+    r2 = (s2 * o0 + s1 * o1 + (s0 + s2) * o2) % P
+    return (r0, r1, r2)
 
 
 def _scalar_pow(s: np.ndarray, e: int, x: bool):
@@ -1295,16 +1334,32 @@ class Polynomial:
         if n != vals.shape[0] or n == 0:
             raise PolynomialError(
                 "interpolation needs a nonempty domain matching the values")
+        if not x and n >= 8 and _native_host_on():
+            # base-field single pair: one native C++ call replaces ~n
+            # python-dispatched vectorized passes (2^9: 27 ms -> 10.7 ms)
+            from .. import native as _nat
+
+            return Polynomial.from_array(
+                _nat.lagrange_interpolate(pts, vals), False)
         Q, inv = _lagrange_precompute(pts, x)
         return Polynomial.from_array(_lagrange_apply(Q, inv, vals, x), x)
 
     @staticmethod
     def fast_interpolate(domain: Sequence, values: Sequence) -> "Polynomial":
         """Recursive half-domain interpolation with batch-inverted offsets
-        (polynomial.rs:1611-1701)."""
+        (polynomial.rs:1611-1701). Below 2^11 points a single base-field
+        pair routes through the native O(n^2) Lagrange instead — one C++
+        call beats the batched tree's python dispatch overhead up to the
+        measured crossover (2^9: 10.7 ms vs 24.5; 2^11: 155 vs 177;
+        2^12: 650 vs 390 — the tree wins above)."""
         if len(domain) != len(values) or len(domain) == 0:
             raise PolynomialError(
                 "interpolation needs a nonempty domain matching the values")
+        if len(domain) <= (1 << 11):
+            pts, px = _to_field_array(domain)
+            vals, vx = _to_field_array(values)
+            if not (px or vx) and _native_host_on():
+                return Polynomial.lagrange_interpolate(pts, vals)
         return Polynomial.batch_fast_interpolate(domain, [values])[0]
 
     par_fast_interpolate = fast_interpolate

@@ -27,41 +27,52 @@ def _load():
     _TRIED = True
     if os.environ.get("TWENTY_FIRST_TPU_NO_NATIVE"):
         return None
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_NATIVE_DIR, "twenty_first_native.cpp")
+    stale = (not os.path.exists(_LIB_PATH)
+             or (os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
+    if stale:
         try:
             subprocess.run(
-                ["make", "-C", _NATIVE_DIR, "-s"],
+                ["make", "-C", _NATIVE_DIR, "-sB"],
                 check=True,
                 capture_output=True,
                 timeout=120,
             )
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
 
-    u64p = ctypes.POINTER(ctypes.c_uint64)
-    u8p = ctypes.POINTER(ctypes.c_uint8)
-    lib.gl_mul_arrays.argtypes = [u64p, u64p, u64p, ctypes.c_size_t]
-    lib.gl_add_arrays.argtypes = [u64p, u64p, u64p, ctypes.c_size_t]
-    lib.gl_sub_arrays.argtypes = [u64p, u64p, u64p, ctypes.c_size_t]
-    lib.gl_batch_inverse.argtypes = [u64p, u64p, ctypes.c_size_t]
+    # Pointer args are declared c_void_p and passed as raw ints
+    # (arr.ctypes.data): building a ctypes POINTER object per argument via
+    # data_as costs ~10us/call, which dominated small-array ops — the int
+    # path measures 7us/call end to end.
+    vp = ctypes.c_void_p
+    lib.gl_mul_arrays.argtypes = [vp, vp, vp, ctypes.c_size_t]
+    lib.gl_xfe_mul_arrays.argtypes = [vp, vp, vp, ctypes.c_size_t]
+    lib.gl_add_arrays.argtypes = [vp, vp, vp, ctypes.c_size_t]
+    lib.gl_sub_arrays.argtypes = [vp, vp, vp, ctypes.c_size_t]
+    lib.gl_batch_inverse.argtypes = [vp, vp, ctypes.c_size_t]
+    lib.gl_batch_inverse_or_zero.argtypes = [vp, vp, ctypes.c_size_t]
     lib.gl_mul_scalar.argtypes = [ctypes.c_uint64, ctypes.c_uint64]
     lib.gl_mul_scalar.restype = ctypes.c_uint64
     lib.gl_inv_scalar.argtypes = [ctypes.c_uint64]
     lib.gl_inv_scalar.restype = ctypes.c_uint64
     lib.gl_pow_scalar.argtypes = [ctypes.c_uint64, ctypes.c_uint64]
     lib.gl_pow_scalar.restype = ctypes.c_uint64
-    lib.tip5_init.argtypes = [u8p, u64p, u64p]
-    lib.tip5_permute_batch.argtypes = [u64p, ctypes.c_size_t]
-    lib.gl_ntt.argtypes = [u64p, ctypes.c_size_t, ctypes.c_uint64]
-    lib.gl_intt.argtypes = [u64p, ctypes.c_size_t, ctypes.c_uint64]
-    lib.gl_ntt_rows.argtypes = [u64p, ctypes.c_size_t, ctypes.c_size_t,
-                                u64p, ctypes.c_uint64]
-    lib.gl_poly_divmod.argtypes = [u64p, ctypes.c_size_t, u64p,
-                                   ctypes.c_size_t, u64p, u64p]
+    lib.tip5_init.argtypes = [vp, vp, vp]
+    lib.tip5_permute_batch.argtypes = [vp, ctypes.c_size_t]
+    lib.gl_ntt.argtypes = [vp, ctypes.c_size_t, ctypes.c_uint64]
+    lib.gl_intt.argtypes = [vp, ctypes.c_size_t, ctypes.c_uint64]
+    lib.gl_ntt_rows.argtypes = [vp, ctypes.c_size_t, ctypes.c_size_t,
+                                vp, ctypes.c_uint64]
+    lib.gl_poly_divmod.argtypes = [vp, ctypes.c_size_t, vp,
+                                   ctypes.c_size_t, vp, vp]
+    lib.gl_lagrange_interpolate.argtypes = [vp, vp, ctypes.c_size_t, vp]
 
     # one-time Tip5 constant upload
     from .tip5.constants import (
@@ -73,11 +84,7 @@ def _load():
     lut = np.ascontiguousarray(LOOKUP_TABLE.astype(np.uint8))
     rc = np.ascontiguousarray(ROUND_CONSTANTS)
     col = np.ascontiguousarray(MDS_MATRIX_FIRST_COLUMN.astype(np.uint64))
-    lib.tip5_init(
-        lut.ctypes.data_as(u8p),
-        rc.ctypes.data_as(u64p),
-        col.ctypes.data_as(u64p),
-    )
+    lib.tip5_init(lut.ctypes.data, rc.ctypes.data, col.ctypes.data)
     _LIB = lib
     return _LIB
 
@@ -87,7 +94,8 @@ def available() -> bool:
 
 
 def _u64p(arr):
-    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+    """Raw data pointer as int (argtypes are c_void_p — see _load)."""
+    return arr.ctypes.data
 
 
 def tip5_permute_batch(states: np.ndarray) -> np.ndarray:
@@ -133,6 +141,28 @@ def batch_inverse(x: np.ndarray) -> np.ndarray:
     xc = np.ascontiguousarray(x, dtype=np.uint64)
     out = np.empty_like(xc)
     lib.gl_batch_inverse(_u64p(xc), _u64p(out), xc.size)
+    return out
+
+
+def batch_inverse_or_zero(x: np.ndarray) -> np.ndarray:
+    """Elementwise inverse-or-zero (zero-tolerant Montgomery trick)."""
+    lib = _load()
+    assert lib is not None
+    xc = np.ascontiguousarray(x, dtype=np.uint64)
+    out = np.empty_like(xc)
+    lib.gl_batch_inverse_or_zero(_u64p(xc), _u64p(out), xc.size)
+    return out
+
+
+def lagrange_interpolate(dom: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """O(n^2) zerofier-based Lagrange interpolation on canonical uint64
+    arrays; returns the (n,) coefficient array."""
+    lib = _load()
+    assert lib is not None
+    dom = np.ascontiguousarray(dom, dtype=np.uint64)
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    out = np.empty_like(vals)
+    lib.gl_lagrange_interpolate(_u64p(dom), _u64p(vals), dom.size, _u64p(out))
     return out
 
 
