@@ -447,7 +447,17 @@ def inverse_or_zero(a):
     Maps 0 -> 0 (0^k == 0 propagates through the chain).
     Chain mirrors the reference's (b_field_element.rs:252-284) — it is the
     standard Goldilocks chain and representation-independent.
+
+    On the CPU backend the ~82 unrolled multiplies form a single ~8k-op
+    fusion whose LLVM compile time explodes (minutes even at width 16 —
+    XLA:TPU compiles the same graph in seconds), so CPU traces use a
+    fori_loop square-and-multiply over the fixed exponent bits instead:
+    same values, shallow graph, ~2x the (irrelevant on CPU) runtime ops.
     """
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return _inverse_or_zero_loop(a)
 
     def nsquare(x, n):
         for _ in range(n):
@@ -465,6 +475,29 @@ def inverse_or_zero(a):
     bin31_z = square(bin31)
     bin32 = mul(square(bin31), x)
     return mul(nsquare(bin31_z, 32), bin32)
+
+
+# exponent bits of p - 2, MSB first (the MSB is 1: loop starts at acc = x)
+_P_MINUS_2_BITS = np.array(
+    [(P - 2) >> (63 - i) & 1 for i in range(64)], dtype=np.uint32)
+
+
+def _inverse_or_zero_loop(a):
+    """x^(p-2) as a 63-step fori_loop (square; conditionally multiply)."""
+    import jax
+    import jax.numpy as jnp_
+
+    bits = jnp_.asarray(_P_MINUS_2_BITS)
+    xlo, xhi = a
+
+    def body(i, acc):
+        acc = square(acc)
+        withx = mul(acc, (xlo, xhi))
+        bit = bits[i]
+        return (jnp_.where(bit == 1, withx[0], acc[0]),
+                jnp_.where(bit == 1, withx[1], acc[1]))
+
+    return jax.lax.fori_loop(1, 64, body, a)
 
 
 def batch_inversion(x, axis: int = -1):

@@ -927,7 +927,8 @@ _SLAB_MIN_ELEMS = 1 << 22
 
 
 def _local_pass(x, log_len: int, inverse: bool, diag=None, post_const=None,
-                transpose_in: bool = False, dif: bool = False):
+                transpose_in: bool = False, dif: bool = False,
+                norev: bool = False):
     """NTT over axis -2 of (..., n, w) limb planes, slab-mapped over the lane
     axis when the matrix is large. Optionally fuses a pointwise multiply by
     ``diag`` ((n, w) limb planes) and/or by a python-int ``post_const`` into
@@ -936,7 +937,12 @@ def _local_pass(x, log_len: int, inverse: bool, diag=None, post_const=None,
     With ``transpose_in=True`` the input is (..., w, n) — the *rows* are
     slabbed and each slab is transposed inside the map body (in VMEM), so
     the matrix transpose between the two four-step passes costs no separate
-    HBM round trip."""
+    HBM round trip.
+
+    ``dif`` selects the Gentleman-Sande core (natural input, bit-reversed
+    output, no gather); ``norev`` the gatherless DIT core (bit-reversed
+    input, natural output, no gather) — the two halves of the orderless
+    convolution path."""
     lo, hi = x
     w = lo.shape[-1] if not transpose_in else lo.shape[-2]
 
@@ -947,7 +953,12 @@ def _local_pass(x, log_len: int, inverse: bool, diag=None, post_const=None,
             out = gf.mul_const(out, post_const)
         return out
 
-    core = _ntt_core_ax2_dif if dif else _ntt_core_ax2
+    if dif:
+        core = _ntt_core_ax2_dif
+    elif norev:
+        core = _ntt_core_ax2_norev
+    else:
+        core = _ntt_core_ax2
     if w % _SLAB or lo.size < _SLAB_MIN_ELEMS:
         if transpose_in:
             lo, hi = jnp.swapaxes(lo, -1, -2), jnp.swapaxes(hi, -1, -2)
@@ -1084,6 +1095,12 @@ def _ntt_core_ax2_dif(x, log_n: int, inverse: bool):
     return _ntt_stages_ax2_dif(x, log_n, inverse, canon_out=True)
 
 
+def _ntt_core_ax2_norev(x, log_n: int, inverse: bool):
+    """Axis(-2) NTT core on input ALREADY in bit-reversed order: the DIT
+    butterfly stages without their input gather. Natural-order output."""
+    return _ntt_stages_ax2(x, log_n, inverse, canon_out=True)
+
+
 @functools.lru_cache(maxsize=None)
 def _four_step_unreverse_idx(log_n: int) -> np.ndarray:
     """Flat int32 gather index mapping the DIF four-step's physical output
@@ -1156,6 +1173,271 @@ def _jitted_four_step(log_n: int, inverse: bool):
                                        (diag_lo, diag_hi))
 
     return run
+
+
+# -- orderless (scrambled-order) convolution path ----------------------------
+#
+# In NTT-domain convolution — forward transform, pointwise combine, inverse
+# transform — the order of the intermediate values is irrelevant, so every
+# bit-reverse gather cancels (DESIGN.md §5, DIF row):
+#
+#   * forward: DIF (Gentleman-Sande) local passes, NO input gathers; the
+#     output lands in "scrambled" order — both axes of the four-step's
+#     (n1, n2) output matrix bit-reverse permuted:
+#         scrambled[n2*r1 + r2] = natural[n2*brev(r1) + brev(r2)]
+#     This permutation is its own inverse (brev is an involution on each
+#     factor), and equals _four_step_unreverse_idx.
+#   * inverse: the DIT butterfly stages natively EXPECT bit-reversed input,
+#     so feeding them the scrambled layout without their input gather
+#     produces natural-order output — again NO gathers.
+#
+# Matches the round-trip structure of the reference's fast multiply /
+# clean divide / NTT-friendly reduction (polynomial.rs:900-932, 2334-2413,
+# 1087-1142), which pay the bit-reversal twice per transform instead.
+
+
+def scrambled_index(log_n: int) -> np.ndarray:
+    """The scrambled<->natural permutation of the orderless convolution
+    domain (an involution): natural[k] = scrambled[scrambled_index[k]] and
+    vice versa. Identity semantics only for log_n >= 2 (four-step layout)."""
+    return _four_step_unreverse_idx(log_n)
+
+
+@functools.lru_cache(maxsize=None)
+def _scrambled_diag_host(log_n: int, inverse: bool):
+    if not inverse:
+        # forward: DIF pass-1 rows are bit-reversed k2 (dif=True layout)
+        return _four_step_diag_host(log_n, False, dif=True)
+    # inverse: the diagonal multiplies AFTER the first (n1-axis) inverse
+    # pass, where the matrix is (j1 natural, r2 = brev(k2)): table value at
+    # (j1, r2) is w^-(j1 * brev(r2)) — the transpose of the dif-permuted
+    # (n2, n1) inverse table.
+    lo, hi = _four_step_diag_host(log_n, True, dif=True)
+    return np.ascontiguousarray(lo.T), np.ascontiguousarray(hi.T)
+
+
+@functools.lru_cache(maxsize=None)
+def _scrambled_diag_device(log_n: int, inverse: bool):
+    lo, hi = _scrambled_diag_host(log_n, inverse)
+    return jnp.asarray(lo), jnp.asarray(hi)
+
+
+def four_step_ntt_scrambled(x, log_n: int, inverse: bool, diag):
+    """Trace-composable four-step NTT with NO bit-reverse gathers.
+
+    Forward: natural-order (..., n) input -> scrambled-order output.
+    Inverse: scrambled-order input -> natural-order output (incl. 1/n).
+    ``diag`` must come from _scrambled_diag_device(log_n, inverse).
+    Composes with any elementwise combine in between: the scrambled order
+    cancels exactly (see module comment above)."""
+    lo, hi = x
+    log_n1, log_n2 = _four_step_split(log_n)
+    n1, n2 = 1 << log_n1, 1 << log_n2
+    batch = lo.shape[:-1]
+    if not inverse:
+        lo = lo.reshape(batch + (n2, n1))
+        hi = hi.reshape(batch + (n2, n1))
+        # DIF column pass (over j2; diag rows pre-permuted to brev(k2)),
+        # then DIF row pass over j1: output (n1, n2) with both axes brev.
+        y = _local_pass((lo, hi), log_n2, False, diag=diag, dif=True)
+        z = _local_pass(y, log_n1, False, transpose_in=True, dif=True)
+    else:
+        # input matrix (n1, n2): rows brev(k1), columns brev(k2)
+        lo = lo.reshape(batch + (n1, n2))
+        hi = hi.reshape(batch + (n1, n2))
+        # gatherless DIT pass over the k1 axis -> j1 natural; fuse the
+        # inverse diagonal w^-(j1*brev(k2)); then gatherless DIT pass over
+        # the k2 axis -> j2 natural. Output (n2, n1) flattens naturally.
+        w = _local_pass((lo, hi), log_n1, True, diag=diag, norev=True)
+        n_inv = pow(1 << log_n, P - 2, P)
+        z = _local_pass(w, log_n2, True, post_const=n_inv,
+                        transpose_in=True, norev=True)
+    return (z[0].reshape(batch + (n1 * n2,)),
+            z[1].reshape(batch + (n1 * n2,)))
+
+
+def _cpu_fusion_break(x):
+    """LLVM's backend is superlinear on XLA:CPU's giant fused u32 chains:
+    the conv-divide graph at 2^17 took minutes to compile in one fusion
+    (the TPU backend compiles the same graph in seconds). Breaking the
+    fusion at stage boundaries keeps CPU compiles fast; no-op on
+    accelerator backends, so device graphs keep full fusion."""
+    if jax.default_backend() == "cpu":
+        return jax.lax.optimization_barrier(x)
+    return x
+
+
+def _conv_fwd_inv(log_n: int):
+    """(forward, inverse) traceable transforms for the convolution graph:
+    scrambled four-step above the four-step threshold (no gathers), the
+    plain last-axis core below it (order then natural on both sides)."""
+    if log_n >= FOUR_STEP_THRESHOLD_LOG2:
+        dfwd = _scrambled_diag_device(log_n, False)
+        dinv = _scrambled_diag_device(log_n, True)
+        return (lambda t: four_step_ntt_scrambled(t, log_n, False, dfwd),
+                lambda t: four_step_ntt_scrambled(t, log_n, True, dinv))
+    return (lambda t: ntt_limbs_traceable(t, inverse=False),
+            lambda t: ntt_limbs_traceable(t, inverse=True))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_conv(log_n: int, xfield: bool, divide: bool):
+    fwd, inv = _conv_fwd_inv(log_n)
+
+    @jax.jit
+    def run(alo, ahi, blo, bhi):
+        from . import gf_ext
+
+        fa = _cpu_fusion_break(fwd((alo, ahi)))
+        fb = _cpu_fusion_break(fwd((blo, bhi)))
+        if xfield:
+            if divide:
+                fb = _cpu_fusion_break(gf_ext.batch_inversion(fb))
+            prod = gf_ext.mul(fa, fb)
+        else:
+            if divide:
+                fb = _cpu_fusion_break(gf.batch_inversion(fb))
+            prod = gf.mul(fa, fb)
+        return inv(_cpu_fusion_break(prod))
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_conv_table(log_n: int, xfield: bool, table_xfield: bool):
+    fwd, inv = _conv_fwd_inv(log_n)
+
+    @jax.jit
+    def run(alo, ahi, tlo, thi):
+        from . import gf_ext
+
+        fa = _cpu_fusion_break(fwd((alo, ahi)))
+        if xfield and table_xfield:
+            prod = gf_ext.mul(fa, (tlo, thi))
+        else:
+            # base-field table broadcasts over the (3, n) component axis
+            prod = gf.mul(fa, (tlo, thi))
+        return inv(_cpu_fusion_break(prod))
+
+    return run
+
+
+# One-shot convolutions have a lower device crossover than single
+# transforms: a conv pays 3 tunnel transfers (2 up, 1 down) where three
+# ntt_values round trips pay 6, and keeps the pointwise combine on device.
+# Defaults to the single-transform knob until measured otherwise; override
+# with TWENTY_FIRST_TPU_HOST_CONV_MAX_ELEMS.
+HOST_CONV_MAX_ELEMS = int(os.environ.get(
+    "TWENTY_FIRST_TPU_HOST_CONV_MAX_ELEMS",
+    os.environ.get("TWENTY_FIRST_TPU_HOST_NTT_MAX_ELEMS", str(1 << 22))))
+
+
+def _conv_host(a: np.ndarray, b, xfield: bool, divide: bool,
+               table=None) -> np.ndarray:
+    """Host-numpy/native form of conv_values / conv_table_values: plain
+    natural-order NTT round trip through ntt_host (which itself routes to
+    the native C++ row kernel when available)."""
+    if xfield:
+        from . import xgf_numpy as xgfn
+
+        fa = np.swapaxes(ntt_host(np.swapaxes(a, -1, -2)), -1, -2)
+        if table is not None:
+            ft = table
+            prod = xgfn.mul(fa, ft) if ft.ndim >= 2 and ft.shape[-1] == 3 \
+                else xgfn.mul_base(fa, ft)
+        else:
+            fb = np.swapaxes(ntt_host(np.swapaxes(b, -1, -2)), -1, -2)
+            if divide:
+                fb = xgfn.inverse(fb)
+            prod = xgfn.mul(fa, fb)
+        return np.swapaxes(
+            ntt_host(np.swapaxes(prod, -1, -2), inverse=True), -1, -2)
+    fa = ntt_host(a)
+    if table is not None:
+        prod = gfn.mul(fa, table)
+    else:
+        fb = ntt_host(b)
+        if divide:
+            fb = gfn.inverse(fb)
+        prod = gfn.mul(fa, fb)
+    return ntt_host(prod, inverse=True)
+
+
+def conv_values(a: np.ndarray, b: np.ndarray, *, xfield: bool = False,
+                divide: bool = False) -> np.ndarray:
+    """Full NTT-domain convolution: intt(ntt(a) * ntt(b)) — or
+    `* ntt(b)^-1` with ``divide``.
+
+    Large inputs run on device in ONE jitted graph: one host->device
+    transfer per operand and one device->host for the result (vs three
+    round trips through ntt_values), and zero bit-reverse gathers above
+    the four-step threshold (the scrambled order cancels). Small inputs
+    stay on the host-native kernel (same crossover rationale as
+    ntt_values). a, b: equal-shape uint64 arrays — (..., n) base-field,
+    or (..., n, 3) extension-field when ``xfield``. Cyclic convolution
+    over the last value axis; callers zero-pad."""
+    from . import gf_ext
+
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    if a.size <= HOST_CONV_MAX_ELEMS:
+        _check_len(a.shape[-2] if xfield else a.shape[-1])
+        return _conv_host(a, b, xfield, divide)
+    if xfield:
+        al, bl = gf_ext.to_limbs(a), gf_ext.to_limbs(b)
+        log_n = _check_len(a.shape[-2])
+        out = _jitted_conv(log_n, True, divide)(al[0], al[1], bl[0], bl[1])
+        return gf_ext.from_limbs(out)
+    log_n = _check_len(a.shape[-1])
+    al, bl = gf.to_limbs(a), gf.to_limbs(b)
+    out = _jitted_conv(log_n, False, divide)(al[0], al[1], bl[0], bl[1])
+    return gf.from_limbs(out)
+
+
+def conv_table_prepare(table_values: np.ndarray, *, xfield: bool = False):
+    """Natural-order NTT values -> a prepared table for repeated
+    conv_table_values calls (the reference's reduce_by_ntt_friendly_modulus
+    pattern, polynomial.rs:1087-1142). Large tables become device limb
+    planes in the convolution domain's (scrambled) order; small tables stay
+    natural-order host arrays for the host-native round trip.
+    table_values: (n,) base-field or (n, 3) extension-field."""
+    from . import gf_ext
+
+    arr = np.asarray(table_values, dtype=np.uint64)
+    n = arr.shape[-2] if xfield else arr.shape[-1]
+    log_n = _check_len(n)
+    if arr.size <= HOST_CONV_MAX_ELEMS:
+        return ("host", arr)
+    if log_n >= FOUR_STEP_THRESHOLD_LOG2:
+        idx = scrambled_index(log_n)
+        arr = arr[idx] if not xfield else arr[idx, :]
+    return ("dev", gf_ext.to_limbs(arr) if xfield else gf.to_limbs(arr))
+
+
+def conv_table_values(a: np.ndarray, table, *, xfield: bool = False,
+                      table_xfield: bool = False) -> np.ndarray:
+    """intt(ntt(a) * table) with ``table`` from conv_table_prepare —
+    one jitted graph on device (no gathers above the four-step threshold),
+    or the host-native round trip for small prepared tables.
+    a: (..., n) base-field or (..., n, 3) extension-field."""
+    from . import gf_ext
+
+    kind, payload = table
+    if kind == "host":
+        a = np.asarray(a, dtype=np.uint64)
+        return _conv_host(a, None, xfield, False, table=payload)
+    if xfield:
+        al = gf_ext.to_limbs(a)
+        log_n = _check_len(a.shape[-2])
+        out = _jitted_conv_table(log_n, True, table_xfield)(
+            al[0], al[1], payload[0], payload[1])
+        return gf_ext.from_limbs(out)
+    a = np.asarray(a, dtype=np.uint64)
+    log_n = _check_len(a.shape[-1])
+    al = gf.to_limbs(a)
+    out = _jitted_conv_table(log_n, False, False)(
+        al[0], al[1], payload[0], payload[1])
+    return gf.from_limbs(out)
 
 
 # -- three-factor (Bailey) decomposition -------------------------------------

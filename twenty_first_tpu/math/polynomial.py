@@ -373,8 +373,11 @@ def _eval_one(coeffs: np.ndarray, cx: bool, point: np.ndarray, px: bool):
 
 
 def _ntt_mul_arrays(a: np.ndarray, b: np.ndarray, x: bool) -> np.ndarray:
-    """Full product of two coefficient arrays via (i)NTT (device for large
-    transforms, host numpy for small — see ntt.ntt_values)."""
+    """Full product of two coefficient arrays via NTT-domain convolution
+    (ntt.conv_values: host-native kernel for small sizes; one jitted
+    gather-free device graph for large — the intermediate order cancels,
+    so no bit-reverse permutations are paid; DESIGN.md §5 DIF row).
+    Matches polynomial.rs:900-932."""
     la, lb = a.shape[0], b.shape[0]
     out_len = la + lb - 1
     n = 1 << max((out_len - 1).bit_length(), 0)
@@ -382,15 +385,7 @@ def _ntt_mul_arrays(a: np.ndarray, b: np.ndarray, x: bool) -> np.ndarray:
     pb = _zeros(n, x)
     pa[:la] = a
     pb[:lb] = b
-    if not x:
-        fa = ntt_mod.ntt_values(pa)
-        fb = ntt_mod.ntt_values(pb)
-        return ntt_mod.ntt_values(gfn.mul(fa, fb), inverse=True)[:out_len]
-    # extension: transform the 3 planes as batch (twiddles are base-field)
-    fa = ntt_mod.ntt_values(pa.T)
-    fb = ntt_mod.ntt_values(pb.T)
-    prod = xgf.mul(fa.T, fb.T)
-    return ntt_mod.ntt_values(prod.T, inverse=True).T[:out_len]
+    return ntt_mod.conv_values(pa, pb, xfield=x)[:out_len]
 
 
 def _divmod_arrays(num: np.ndarray, den: np.ndarray, x: bool
@@ -828,10 +823,10 @@ class Polynomial:
         pn, pd = _zeros(n, True), _zeros(n, True)
         pn[: na.shape[0]] = na
         pd[: da_.shape[0]] = da_
-        fn_ = ntt_mod.ntt_values(pn.T)
-        fd_ = ntt_mod.ntt_values(pd.T)
-        quot_evals = xgf.mul(fn_.T, xgf.inverse(fd_.T))
-        coeffs = ntt_mod.ntt_values(quot_evals.T, inverse=True).T[:result_len]
+        # one NTT-domain division round trip (gather-free on device above
+        # the four-step threshold; host-native below — ntt.conv_values)
+        coeffs = ntt_mod.conv_values(
+            pn, pd, xfield=True, divide=True)[:result_len]
         q = Polynomial.from_array(coeffs, True).scale(offset.inverse())
         # the quotient of base-field operands is base-field: unlift
         arr = q.to_array()
@@ -937,20 +932,16 @@ class Polynomial:
         if range_start < coeffs.shape[0]:
             take = coeffs.shape[0] - range_start
             window[:take] = coeffs[range_start:]
+        # prepare the shift table once for every chunk's convolution round
+        # trip (scrambled device order above the crossover — no gathers;
+        # natural host order below): ntt.conv_table_* mirror the
+        # reference's cached-NTT chunk loop, polynomial.rs:1087-1144.
+        table = ntt_mod.conv_table_prepare(shift_ntt, xfield=sx)
         for chunk_index in range(num_reducible_chunks - 1, -1, -1):
             product = _zeros(domain_length, x)
             product[:chunk_size] = window[tail_length:]
-            if x:
-                fp = ntt_mod.ntt_values(product.T).T
-                if sx:
-                    fp = xgf.mul(fp, shift_ntt)
-                else:
-                    fp = gfn.mul(fp, shift_ntt[:, None])
-                product = ntt_mod.ntt_values(fp.T, inverse=True).T
-            else:
-                fp = ntt_mod.ntt_values(product)
-                fp = gfn.mul(fp, shift_ntt)
-                product = ntt_mod.ntt_values(fp, inverse=True)
+            product = ntt_mod.conv_table_values(
+                product, table, xfield=x, table_xfield=sx)
             new_window = _zeros(chunk_size + tail_length, x)
             new_window[chunk_size:] = window[:tail_length]
             stop = min(chunk_size, coeffs.shape[0] - chunk_index * chunk_size)
