@@ -18,6 +18,7 @@
 #include <cstddef>
 #include <cstring>
 #include <vector>
+#include <cstdlib>
 
 using u64 = uint64_t;
 using u128 = __uint128_t;
@@ -266,23 +267,87 @@ static inline void tip5_round(u64* s, int r) {
     u64 qu = gl_mul(sq, sq);
     s[i] = gl_mul(gl_mul(qu, sq), s[i]);
   }
-  // MDS: circulant matvec over the integers, one reduction per output
-  u64 out[16];
-  for (int i = 0; i < 16; i++) {
-    u128 acc = 0;
-    for (int j = 0; j < 16; j++) {
-      acc += (u128)MDS_COL[(i - j) & 15] * s[j];
-    }
-    out[i] = reduce128(acc);
+  // MDS: circulant matvec on 32-bit word halves (the same split the
+  // reference's scalar path uses, tip5/mod.rs:753-764, with a SIMD-friendly
+  // rotate-and-axpy loop instead of its recursive scalar convolution).
+  // Each half-product col(<2^16) * half(<2^32) < 2^48; 16-term sums stay
+  // < 2^52, so both accumulators fit u64 and the inner loop is a
+  // unit-stride vectorizable multiply-add.
+  u64 s2lo[32], s2hi[32];
+  for (int j = 0; j < 16; j++) {
+    const u64 lo32 = s[j] & 0xffffffffULL, hi32 = s[j] >> 32;
+    s2lo[j] = lo32;
+    s2lo[j + 16] = lo32;
+    s2hi[j] = hi32;
+    s2hi[j + 16] = hi32;
   }
-  for (int i = 0; i < 16; i++) s[i] = gl_add(out[i], RC[16 * r + i]);
+  u64 alo[16] = {0}, ahi[16] = {0};
+  for (int k = 0; k < 16; k++) {
+    const u64 c = MDS_COL[k];
+    const u64* pl = s2lo + 16 - k;
+    const u64* ph = s2hi + 16 - k;
+    for (int i = 0; i < 16; i++) {
+      alo[i] += c * pl[i];
+      ahi[i] += c * ph[i];
+    }
+  }
+  for (int i = 0; i < 16; i++) {
+    const u128 acc = (u128)alo[i] + ((u128)ahi[i] << 32);
+    s[i] = gl_add(reduce128(acc), RC[16 * r + i]);
+  }
 }
 
 void tip5_permute_batch(u64* states, size_t batch) {
+  // Batch parallelism matches the reference's rayon par_iter hashing
+  // (merkle_tree.rs:299-364); each state is independent.
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (batch >= 512)
+#endif
   for (size_t b = 0; b < batch; b++) {
     u64* s = states + 16 * b;
     for (int r = 0; r < 5; r++) tip5_round(s, r);
   }
+}
+
+// One Merkle layer: (2b, 5) digest rows -> (b, 5) via hash_pair
+// (fixed-length domain: capacity words = 1; tip5/mod.rs hash_pair).
+// States live on the stack — no (b, 16) staging buffer.
+void tip5_hash_pairs(const u64* nodes, u64* out, size_t b) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (b >= 256)
+#endif
+  for (size_t i = 0; i < b; i++) {
+    u64 s[16];
+    memcpy(s, nodes + 10 * i, 10 * sizeof(u64));
+    for (int j = 10; j < 16; j++) s[j] = 1;
+    for (int r = 0; r < 5; r++) tip5_round(s, r);
+    memcpy(out + 5 * i, s, 5 * sizeof(u64));
+  }
+}
+
+// Frugal Merkle root fully in native code: repeated layer halving between
+// two ping-pong scratch buffers — in-place halving would race under the
+// OpenMP layer parallelism (reference: sequential/par_frugal_root,
+// merkle_tree.rs:299-364). leafs: (n, 5), n a power of two; root: 5 words.
+void tip5_merkle_root(const u64* leafs, u64* root, size_t n) {
+  if (n == 1) {
+    memcpy(root, leafs, 5 * sizeof(u64));
+    return;
+  }
+  size_t m = n / 2;
+  u64* a = (u64*)malloc(m * 5 * sizeof(u64));
+  u64* b = (u64*)malloc(((m / 2) ? (m / 2) : 1) * 5 * sizeof(u64));
+  tip5_hash_pairs(leafs, a, m);
+  while (m > 1) {
+    tip5_hash_pairs(a, b, m / 2);
+    u64* t = a;
+    a = b;
+    b = t;
+    m /= 2;
+  }
+  memcpy(root, a, 5 * sizeof(u64));
+  free(a);
+  free(b);
 }
 
 // ---------------------------------------------------------------------------

@@ -66,6 +66,8 @@ def _load():
     lib.gl_pow_scalar.restype = ctypes.c_uint64
     lib.tip5_init.argtypes = [vp, vp, vp]
     lib.tip5_permute_batch.argtypes = [vp, ctypes.c_size_t]
+    lib.tip5_hash_pairs.argtypes = [vp, vp, ctypes.c_size_t]
+    lib.tip5_merkle_root.argtypes = [vp, vp, ctypes.c_size_t]
     lib.gl_ntt.argtypes = [vp, ctypes.c_size_t, ctypes.c_uint64]
     lib.gl_intt.argtypes = [vp, ctypes.c_size_t, ctypes.c_uint64]
     lib.gl_ntt_rows.argtypes = [vp, ctypes.c_size_t, ctypes.c_size_t,
@@ -106,6 +108,29 @@ def tip5_permute_batch(states: np.ndarray) -> np.ndarray:
     batch = out.size // 16
     lib.tip5_permute_batch(_u64p(out), batch)
     return out
+
+
+def tip5_hash_pairs(nodes: np.ndarray) -> np.ndarray:
+    """One Merkle layer: (2b, 5) uint64 digests -> (b, 5) hash_pair rows
+    (OpenMP across pairs; no staging buffer)."""
+    lib = _load()
+    assert lib is not None
+    nodes = np.ascontiguousarray(nodes, dtype=np.uint64)
+    b = nodes.shape[0] // 2
+    out = np.empty((b, 5), dtype=np.uint64)
+    lib.tip5_hash_pairs(_u64p(nodes), _u64p(out), b)
+    return out
+
+
+def tip5_merkle_root(leafs: np.ndarray) -> np.ndarray:
+    """Frugal Merkle root of (n, 5) uint64 leafs, n a power of two —
+    the whole layer loop stays in native code."""
+    lib = _load()
+    assert lib is not None
+    leafs = np.ascontiguousarray(leafs, dtype=np.uint64)
+    root = np.empty(5, dtype=np.uint64)
+    lib.tip5_merkle_root(_u64p(leafs), _u64p(root), leafs.shape[0])
+    return root
 
 
 def ntt_inplace(x: np.ndarray, root: int) -> np.ndarray:

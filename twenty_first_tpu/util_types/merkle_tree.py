@@ -44,18 +44,35 @@ def _as_leaf_array(leafs) -> np.ndarray:
     )
 
 
-def _hash_layer(nodes: np.ndarray) -> np.ndarray:
-    """One tree layer: (2b, 5) -> (b, 5) via batched hash_pair."""
-    b = nodes.shape[0] // 2
-    if nodes.shape[0] < merkle_tree_parallelization_cutoff():
-        # Host path for tiny layers: avoids device dispatch overhead.
-        from .. import native
+# Host-vs-device crossover for the one-shot object API (same design split
+# as ntt.HOST_NTT_MAX_ELEMS): every _hash_layer call from MerkleTree.new /
+# frugal_root pays a host->device->host round trip for its layer, so on a
+# transfer-bound link the OpenMP native batch permutation wins up to large
+# layers. Device-resident pipelines (parallel/dist_merkle) never come
+# through here. Override with TWENTY_FIRST_TPU_HOST_MERKLE_MAX_LEAFS.
+import os as _os
 
-        if native.available():
-            states = np.zeros((b, 16), dtype=np.uint64)
-            states[:, :10] = nodes.reshape(b, 10)
-            states[:, 10:] = 1  # FixedLength capacity
-            return native.tip5_permute_batch(states)[:, :5]
+HOST_MERKLE_MAX_LEAFS = int(_os.environ.get(
+    "TWENTY_FIRST_TPU_HOST_MERKLE_MAX_LEAFS", str(1 << 21)))
+
+
+def _hash_layer(nodes: np.ndarray) -> np.ndarray:
+    """One tree layer: (2b, 5) -> (b, 5) via batched hash_pair.
+
+    Tiny layers (below the reference's parallelization cutoff,
+    config.rs:68-77) and one-shot layers up to HOST_MERKLE_MAX_LEAFS run on
+    the host — OpenMP native batch permutation when available — since each
+    call here pays its own host->device->host round trip; only very large
+    layers go to the device kernel."""
+    from .. import native
+
+    b = nodes.shape[0] // 2
+    small = nodes.shape[0] < merkle_tree_parallelization_cutoff()
+    host_native = native.available() and (
+        small or nodes.shape[0] <= HOST_MERKLE_MAX_LEAFS)
+    if host_native:
+        return native.tip5_hash_pairs(nodes)
+    if small:
         out = np.empty((b, Digest.LEN), dtype=np.uint64)
         for i in range(b):
             out[i] = Tip5.hash_pair(
@@ -107,9 +124,15 @@ class MerkleTree:
     @classmethod
     def frugal_root(cls, leafs) -> Digest:
         """Root with O(layer) memory: never materializes the node array
-        (reference: sequential/par_frugal_root, merkle_tree.rs:299-364)."""
+        (reference: sequential/par_frugal_root, merkle_tree.rs:299-364).
+        Host-sized inputs run the whole layer loop in native code."""
+        from .. import native
+
         layer = _as_leaf_array(leafs)
         _check_num_leafs(layer.shape[0])
+        if (native.available()
+                and layer.shape[0] <= HOST_MERKLE_MAX_LEAFS):
+            return Digest.from_array(native.tip5_merkle_root(layer))
         while layer.shape[0] > 1:
             layer = _hash_layer(layer)
         return Digest.from_array(layer[0])
