@@ -16,8 +16,9 @@ the XLA-fused production kernels, measured on TPU v5e, and found SLOWER
     Mosaic's u32 codegen is ~3x behind XLA's fusion on the butterfly op mix).
 
 Correctness coverage: tests/test_pallas_kernels.py (runs in CI on the CPU
-interpreter; set TWENTY_FIRST_TPU_PALLAS_HW=1 to run the same bit-exactness
-checks on real TPU hardware — bench.py does this in its smoke pass).
+interpreter; set TWENTY_FIRST_TPU_PALLAS_HW_TEST=1 to run the same
+bit-exactness checks on real TPU hardware — bench.py also runs a hardware
+bit-exactness smoke every run, reported as extras["pallas_hw_bit_exact"]).
 
 If a future hardware generation or Mosaic release changes the codegen
 picture, these are the starting points; promote by wiring a dispatch in the
