@@ -297,13 +297,141 @@ static inline void tip5_round(u64* s, int r) {
   }
 }
 
+// --- 8-lane SoA permutation: the host analogue of the reference's
+// AVX-512 backend. All field ops are expressed as branchless loops over
+// 8 u64 lanes (one AVX-512 register) with 32-bit-split multiplies whose
+// partial products stay < 2^64, so the compiler vectorizes them with
+// vpmullq/vpmuludq under -march=native. Only the byte-LUT S-box stays
+// scalar per lane (a gather; 256 byte ops/round vs ~3k vectorized
+// mul-lane-ops — not the bottleneck).
+
+#define L8 8
+
+static inline void gl_mul8(const u64* a, const u64* b, u64* out) {
+  for (int l = 0; l < L8; l++) {
+    const u64 a0 = a[l] & 0xffffffffULL, a1 = a[l] >> 32;
+    const u64 b0 = b[l] & 0xffffffffULL, b1 = b[l] >> 32;
+    const u64 ll = a0 * b0, lh = a0 * b1, hl = a1 * b0, hh = a1 * b1;
+    const u64 cross = lh + hl;
+    const u64 cross_c = (u64)(cross < lh) << 32;  // carry weight 2^96 -> hi bit 32
+    const u64 lo = ll + (cross << 32);
+    const u64 c0 = (u64)(lo < ll);
+    const u64 hi = hh + (cross >> 32) + cross_c + c0;
+    // Goldilocks reduction of (lo, hi), branchless
+    const u64 hi_hi = hi >> 32, hi_lo = hi & 0xffffffffULL;
+    u64 t0 = lo - hi_hi;
+    t0 -= EPSILON & (u64)(0 - (u64)(lo < hi_hi));
+    const u64 t1 = hi_lo * EPSILON;
+    u64 res = t0 + t1;
+    res += EPSILON & (u64)(0 - (u64)(res < t0));
+    res -= P & (u64)(0 - (u64)(res >= P));
+    out[l] = res;
+  }
+}
+
+static inline void gl_add8(const u64* a, const u64* b, u64* out) {
+  for (int l = 0; l < L8; l++) {
+    u64 s = a[l] + b[l];
+    s += EPSILON & (u64)(0 - (u64)(s < a[l]));
+    s -= P & (u64)(0 - (u64)(s >= P));
+    out[l] = s;
+  }
+}
+
+static void tip5_round8(u64 s[16][L8], int r) {
+  static const u64 EPS8[L8] = {EPSILON, EPSILON, EPSILON, EPSILON,
+                               EPSILON, EPSILON, EPSILON, EPSILON};
+  static const u64 RINV8[L8] = {R_INV, R_INV, R_INV, R_INV,
+                                R_INV, R_INV, R_INV, R_INV};
+  u64 tmp[L8], tmp2[L8];
+  // S-box words 0..3: byte LUT on the Montgomery representative
+  for (int i = 0; i < 4; i++) {
+    gl_mul8(s[i], EPS8, tmp);
+    for (int l = 0; l < L8; l++) {
+      const u64 m = tmp[l];
+      u64 out = 0;
+      for (int byte = 0; byte < 8; byte++) {
+        out |= (u64)LUT[(m >> (8 * byte)) & 0xff] << (8 * byte);
+      }
+      tmp2[l] = out;
+    }
+    gl_mul8(tmp2, RINV8, s[i]);
+  }
+  // words 4..15: x^7
+  for (int i = 4; i < 16; i++) {
+    u64 sq[L8], qu[L8];
+    gl_mul8(s[i], s[i], sq);
+    gl_mul8(sq, sq, qu);
+    gl_mul8(qu, sq, tmp);
+    gl_mul8(tmp, s[i], s[i]);
+  }
+  // MDS on 32-bit halves: rotate-and-axpy, accumulators < 2^52
+  u64 s2lo[32][L8], s2hi[32][L8];
+  for (int j = 0; j < 16; j++) {
+    for (int l = 0; l < L8; l++) {
+      const u64 lo32 = s[j][l] & 0xffffffffULL, hi32 = s[j][l] >> 32;
+      s2lo[j][l] = lo32;
+      s2lo[j + 16][l] = lo32;
+      s2hi[j][l] = hi32;
+      s2hi[j + 16][l] = hi32;
+    }
+  }
+  u64 alo[16][L8] = {{0}}, ahi[16][L8] = {{0}};
+  for (int k = 0; k < 16; k++) {
+    const u64 c = MDS_COL[k];
+    for (int i = 0; i < 16; i++) {
+      const u64* pl = s2lo[16 - k + i];
+      const u64* ph = s2hi[16 - k + i];
+      for (int l = 0; l < L8; l++) {
+        alo[i][l] += c * pl[l];
+        ahi[i][l] += c * ph[l];
+      }
+    }
+  }
+  for (int i = 0; i < 16; i++) {
+    u64 red[L8], rc[L8];
+    for (int l = 0; l < L8; l++) {
+      // (alo + (ahi << 32)) mod p without u128: alo < 2^52, ahi < 2^52
+      const u64 lo = alo[i][l] + (ahi[i][l] << 32);
+      const u64 carry = (u64)(lo < alo[i][l]);
+      const u64 hi = (ahi[i][l] >> 32) + carry;   // < 2^21
+      // value = lo + 2^64*hi; reduce: 2^64 == EPSILON (mod p)
+      const u64 hi_hi = hi >> 32, hi_lo = hi & 0xffffffffULL;  // hi_hi == 0
+      u64 t0 = lo - hi_hi;
+      t0 -= EPSILON & (u64)(0 - (u64)(lo < hi_hi));
+      const u64 t1 = hi_lo * EPSILON;
+      u64 res = t0 + t1;
+      res += EPSILON & (u64)(0 - (u64)(res < t0));
+      res -= P & (u64)(0 - (u64)(res >= P));
+      red[l] = res;
+      rc[l] = RC[16 * r + i];
+    }
+    gl_add8(red, rc, s[i]);
+  }
+}
+
+static void tip5_permute_block8(u64* states) {
+  // AoS (8, 16) -> SoA [16][8], 5 rounds, back
+  u64 s[16][L8];
+  for (int i = 0; i < 16; i++)
+    for (int l = 0; l < L8; l++) s[i][l] = states[16 * l + i];
+  for (int r = 0; r < 5; r++) tip5_round8(s, r);
+  for (int i = 0; i < 16; i++)
+    for (int l = 0; l < L8; l++) states[16 * l + i] = s[i][l];
+}
+
 void tip5_permute_batch(u64* states, size_t batch) {
   // Batch parallelism matches the reference's rayon par_iter hashing
-  // (merkle_tree.rs:299-364); each state is independent.
+  // (merkle_tree.rs:299-364); each state is independent. Blocks of 8
+  // run the SoA lane kernel; the tail stays scalar.
+  const size_t blocks = batch / L8;
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static) if (batch >= 512)
+#pragma omp parallel for schedule(static) if (blocks >= 64)
 #endif
-  for (size_t b = 0; b < batch; b++) {
+  for (size_t b = 0; b < blocks; b++) {
+    tip5_permute_block8(states + 16 * L8 * b);
+  }
+  for (size_t b = blocks * L8; b < batch; b++) {
     u64* s = states + 16 * b;
     for (int r = 0; r < 5; r++) tip5_round(s, r);
   }
@@ -311,12 +439,25 @@ void tip5_permute_batch(u64* states, size_t batch) {
 
 // One Merkle layer: (2b, 5) digest rows -> (b, 5) via hash_pair
 // (fixed-length domain: capacity words = 1; tip5/mod.rs hash_pair).
-// States live on the stack — no (b, 16) staging buffer.
+// States live on the stack — no (b, 16) staging buffer; blocks of 8
+// pairs run the SoA lane kernel.
 void tip5_hash_pairs(const u64* nodes, u64* out, size_t b) {
+  const size_t blocks = b / L8;
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static) if (b >= 256)
+#pragma omp parallel for schedule(static) if (blocks >= 32)
 #endif
-  for (size_t i = 0; i < b; i++) {
+  for (size_t blk = 0; blk < blocks; blk++) {
+    u64 s[L8 * 16];
+    for (int l = 0; l < L8; l++) {
+      const size_t i = blk * L8 + l;
+      memcpy(s + 16 * l, nodes + 10 * i, 10 * sizeof(u64));
+      for (int j = 10; j < 16; j++) s[16 * l + j] = 1;
+    }
+    tip5_permute_block8(s);
+    for (int l = 0; l < L8; l++)
+      memcpy(out + 5 * (blk * L8 + l), s + 16 * l, 5 * sizeof(u64));
+  }
+  for (size_t i = blocks * L8; i < b; i++) {
     u64 s[16];
     memcpy(s, nodes + 10 * i, 10 * sizeof(u64));
     for (int j = 10; j < 16; j++) s[j] = 1;
