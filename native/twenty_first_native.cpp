@@ -466,6 +466,26 @@ void tip5_hash_pairs(const u64* nodes, u64* out, size_t b) {
   }
 }
 
+// Whole variable-length sponge hash in one native call: overwrite-mode
+// absorb of 10-word chunks with the 1||0* final-chunk padding
+// (tip5/mod.rs hash_varlen semantics; sponge state starts all-zero in
+// the variable-length domain). vals: n words; out: 5-word digest.
+void tip5_hash_varlen(const u64* vals, size_t n, u64* out) {
+  u64 s[16] = {0};
+  const size_t full = n / 10;
+  for (size_t c = 0; c < full; c++) {
+    memcpy(s, vals + 10 * c, 10 * sizeof(u64));
+    for (int r = 0; r < 5; r++) tip5_round(s, r);
+  }
+  u64 last[10] = {0};
+  const size_t rem = n - full * 10;
+  if (rem) memcpy(last, vals + full * 10, rem * sizeof(u64));
+  last[rem] = 1;
+  memcpy(s, last, 10 * sizeof(u64));
+  for (int r = 0; r < 5; r++) tip5_round(s, r);
+  memcpy(out, s, 5 * sizeof(u64));
+}
+
 // Frugal Merkle root fully in native code: repeated layer halving between
 // two ping-pong scratch buffers — in-place halving would race under the
 // OpenMP layer parallelism (reference: sequential/par_frugal_root,

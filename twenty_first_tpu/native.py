@@ -68,6 +68,7 @@ def _load():
     lib.tip5_permute_batch.argtypes = [vp, ctypes.c_size_t]
     lib.tip5_hash_pairs.argtypes = [vp, vp, ctypes.c_size_t]
     lib.tip5_merkle_root.argtypes = [vp, vp, ctypes.c_size_t]
+    lib.tip5_hash_varlen.argtypes = [vp, ctypes.c_size_t, vp]
     lib.gl_ntt.argtypes = [vp, ctypes.c_size_t, ctypes.c_uint64]
     lib.gl_intt.argtypes = [vp, ctypes.c_size_t, ctypes.c_uint64]
     lib.gl_ntt_rows.argtypes = [vp, ctypes.c_size_t, ctypes.c_size_t,
@@ -119,6 +120,16 @@ def tip5_hash_pairs(nodes: np.ndarray) -> np.ndarray:
     b = nodes.shape[0] // 2
     out = np.empty((b, 5), dtype=np.uint64)
     lib.tip5_hash_pairs(_u64p(nodes), _u64p(out), b)
+    return out
+
+
+def tip5_hash_varlen(values: np.ndarray) -> np.ndarray:
+    """Whole variable-length sponge hash (n,) uint64 -> (5,) digest words."""
+    lib = _load()
+    assert lib is not None
+    values = np.ascontiguousarray(values, dtype=np.uint64)
+    out = np.empty(5, dtype=np.uint64)
+    lib.tip5_hash_varlen(_u64p(values), values.size, _u64p(out))
     return out
 
 

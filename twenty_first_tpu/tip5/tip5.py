@@ -123,6 +123,12 @@ class Tip5(Sponge):
 
     @classmethod
     def hash_varlen(cls, input_elements: Sequence) -> Digest:
+        from .. import native
+
+        if native.available():
+            vals = np.array([bfe(e).value() for e in input_elements],
+                            dtype=np.uint64)
+            return Digest.from_array(native.tip5_hash_varlen(vals))
         sponge = cls.init()
         sponge.pad_and_absorb_all(input_elements)
         return Digest(sponge.state[: Digest.LEN])
