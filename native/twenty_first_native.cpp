@@ -558,33 +558,88 @@ void gl_intt(u64* x, size_t n, u64 root_inv) {
 // log2(n) holds 2^s entries, concatenated; total n-1). n_inv != 0 applies
 // the inverse 1/n scaling (caller passes inverse-root twiddles then).
 // Replaces the python host-NTT's per-stage numpy passes with one call.
+// One stage block of m butterflies, branchless 32-bit-split math the
+// compiler can vectorize (same formulation as the 8-lane Tip5 kernel):
+// (a[j], b[j]) <- (a[j] + tw[j]*b[j], a[j] - tw[j]*b[j]).
+static inline void gl_butterflies_vec(u64* a, u64* b, const u64* tw,
+                                      size_t m) {
+  for (size_t j = 0; j < m; j++) {
+    const u64 x = b[j], w = tw[j];
+    const u64 a0 = x & 0xffffffffULL, a1 = x >> 32;
+    const u64 b0 = w & 0xffffffffULL, b1 = w >> 32;
+    const u64 ll = a0 * b0, lh = a0 * b1, hl = a1 * b0, hh = a1 * b1;
+    const u64 cross = lh + hl;
+    const u64 cross_c = (u64)(cross < lh) << 32;
+    const u64 lo = ll + (cross << 32);
+    const u64 c0 = (u64)(lo < ll);
+    const u64 hi = hh + (cross >> 32) + cross_c + c0;
+    const u64 hi_hi = hi >> 32, hi_lo = hi & 0xffffffffULL;
+    u64 t0 = lo - hi_hi;
+    t0 -= EPSILON & (u64)(0 - (u64)(lo < hi_hi));
+    const u64 t1 = hi_lo * EPSILON;
+    u64 v = t0 + t1;
+    v += EPSILON & (u64)(0 - (u64)(v < t0));
+    v -= P & (u64)(0 - (u64)(v >= P));
+    const u64 u = a[j];
+    u64 s = u + v;
+    s += EPSILON & (u64)(0 - (u64)(s < u));
+    s -= P & (u64)(0 - (u64)(s >= P));
+    u64 d = u - v;
+    d -= EPSILON & (u64)(0 - (u64)(u < v));
+    a[j] = s;
+    b[j] = d;
+  }
+}
+
+static void gl_ntt_one_row(u64* row, size_t n, uint32_t log_n,
+                           const u64* stage_tw, u64 n_inv, int par) {
+  for (uint32_t k = 0; k < n; k++) {
+    uint32_t rev = bitrev32(k) >> (32 - log_n);
+    if (k < rev) { u64 t = row[k]; row[k] = row[rev]; row[rev] = t; }
+  }
+  const u64* tw = stage_tw;
+  for (size_t m = 1; m < n; m *= 2) {
+    const size_t blocks = n / (2 * m);
+    if (par && blocks >= 8) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+      for (size_t blk = 0; blk < blocks; blk++) {
+        const size_t k = blk * 2 * m;
+        gl_butterflies_vec(row + k, row + k + m, tw, m);
+      }
+    } else {
+      for (size_t k = 0; k < n; k += 2 * m) {
+        gl_butterflies_vec(row + k, row + k + m, tw, m);
+      }
+    }
+    tw += m;
+  }
+  if (n_inv) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (par && n >= (size_t{1} << 16))
+#endif
+    for (size_t i = 0; i < n; i++) row[i] = gl_mul(row[i], n_inv);
+  }
+}
+
 void gl_ntt_rows(u64* x, size_t rows, size_t n, const u64* stage_tw,
                  u64 n_inv) {
   if (n <= 1) return;
   uint32_t log_n = 0;
   while ((size_t{1} << log_n) < n) log_n++;
-  for (size_t r = 0; r < rows; r++) {
-    u64* row = x + r * n;
-    for (uint32_t k = 0; k < n; k++) {
-      uint32_t rev = bitrev32(k) >> (32 - log_n);
-      if (k < rev) { u64 t = row[k]; row[k] = row[rev]; row[rev] = t; }
+  if (rows >= 2) {
+    // batch parallelism across rows; each row transform stays serial
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (rows * n >= (size_t{1} << 14))
+#endif
+    for (size_t r = 0; r < rows; r++) {
+      gl_ntt_one_row(x + r * n, n, log_n, stage_tw, n_inv, 0);
     }
-    const u64* tw = stage_tw;
-    for (size_t m = 1; m < n; m *= 2) {
-      for (size_t k = 0; k < n; k += 2 * m) {
-        for (size_t j = 0; j < m; j++) {
-          u64 u = row[k + j];
-          u64 v = gl_mul(row[k + j + m], tw[j]);
-          row[k + j] = gl_add(u, v);
-          row[k + j + m] = gl_sub(u, v);
-        }
-      }
-      tw += m;
-    }
-    if (n_inv) {
-      for (size_t i = 0; i < n; i++) row[i] = gl_mul(row[i], n_inv);
-    }
+    return;
   }
+  // single large row: parallelize within each butterfly stage
+  gl_ntt_one_row(x, n, log_n, stage_tw, n_inv, n >= (size_t{1} << 16));
 }
 
 // ---------------------------------------------------------------------------
@@ -593,6 +648,114 @@ void gl_ntt_rows(u64* x, size_t rows, size_t n, const u64* stage_tw,
 
 // num (len dn+1), den (len dd+1), quot (len dn-dd+1), rem (len dd).
 // Caller guarantees dn >= dd >= 0 and den[dd] != 0.
+// Whole chunked reduction by an NTT-friendly structured modulus
+// (polynomial.rs:1087-1144; the Python loop in
+// reduce_by_ntt_friendly_modulus moved into one call): repeatedly fold
+// the top chunk through intt(ntt(chunk) * shift_ntt). coeffs: n words;
+// shift_ntt: domain_len natural-order NTT values; stage twiddles and
+// n_inv as in gl_ntt_rows. out: chunk+tail = domain_len words (the
+// surviving window, little-endian coefficient order).
+void gl_reduce_by_ntt_modulus(const u64* coeffs, size_t n,
+                              const u64* shift_ntt, size_t domain_len,
+                              size_t tail_len, const u64* tw_f,
+                              const u64* tw_i, u64 n_inv, u64* out) {
+  const size_t chunk = domain_len - tail_len;
+  uint32_t log_n = 0;
+  while ((size_t{1} << log_n) < domain_len) log_n++;
+  u64* window = out;  // chunk + tail
+  const size_t win_len = chunk + tail_len;
+  // initial window = top partial chunk
+  const size_t num_chunks =
+      (n - (tail_len + chunk) + chunk - 1) / chunk;  // caller ensures n >= win_len
+  const size_t range_start = num_chunks * chunk;
+  memset(window, 0, win_len * sizeof(u64));
+  if (range_start < n) {
+    memcpy(window, coeffs + range_start, (n - range_start) * sizeof(u64));
+  }
+  u64* product = new u64[domain_len];
+  u64* tail_save = new u64[tail_len ? tail_len : 1];
+  for (size_t ci = num_chunks; ci-- > 0;) {
+    memcpy(product, window + tail_len, chunk * sizeof(u64));
+    memset(product + chunk, 0, tail_len * sizeof(u64));
+    gl_ntt_one_row(product, domain_len, log_n, tw_f, 0, 0);
+    for (size_t i = 0; i < domain_len; i++) {
+      product[i] = gl_mul(product[i], shift_ntt[i]);
+    }
+    gl_ntt_one_row(product, domain_len, log_n, tw_i, n_inv, 0);
+    memcpy(tail_save, window, tail_len * sizeof(u64));
+    const size_t stop = (chunk < n - ci * chunk) ? chunk : n - ci * chunk;
+    memcpy(window, coeffs + ci * chunk, stop * sizeof(u64));
+    if (stop < chunk) memset(window + stop, 0, (chunk - stop) * sizeof(u64));
+    memcpy(window + chunk, tail_save, tail_len * sizeof(u64));
+    for (size_t i = 0; i < win_len; i++) {
+      window[i] = gl_sub(window[i], product[i]);
+    }
+  }
+  delete[] product;
+  delete[] tail_save;
+}
+
+// Multipoint evaluation by lane-blocked Horner: 8 points per vector
+// register, OpenMP across blocks. The per-point mul->add dependency chain
+// hides across the 8 lanes; k*m total mul-adds. out[i] = P(pts[i]).
+void gl_horner_points(const u64* coeffs, size_t k, const u64* pts,
+                      size_t m, u64* out) {
+  if (k == 0) {
+    memset(out, 0, m * sizeof(u64));
+    return;
+  }
+  // 4 interleaved 8-lane chains per thread iteration (32 points): the
+  // mul->add recurrence is latency-bound per chain (~20+ cycles), so
+  // independent chains are what buy throughput, not wider vectors.
+  const size_t W = 4 * L8;
+  const size_t big = m / W;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (big * k >= (size_t{1} << 16))
+#endif
+  for (size_t blk = 0; blk < big; blk++) {
+    u64 x[4][L8], acc[4][L8], c8[L8], t[4][L8];
+    for (int v = 0; v < 4; v++) {
+      for (int l = 0; l < L8; l++) {
+        x[v][l] = pts[blk * W + v * L8 + l];
+        acc[v][l] = coeffs[k - 1];
+      }
+    }
+    for (size_t j = k - 1; j-- > 0;) {
+      const u64 c = coeffs[j];
+      for (int l = 0; l < L8; l++) c8[l] = c;
+      for (int v = 0; v < 4; v++) gl_mul8(acc[v], x[v], t[v]);
+      for (int v = 0; v < 4; v++) gl_add8(t[v], c8, acc[v]);
+    }
+    for (int v = 0; v < 4; v++)
+      memcpy(out + blk * W + v * L8, acc[v], L8 * sizeof(u64));
+  }
+  const size_t blocks = m / L8;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if ((blocks - big * 4) * k >= (size_t{1} << 16))
+#endif
+  for (size_t blk = big * 4; blk < blocks; blk++) {
+    u64 x[L8], acc[L8], c8[L8], t[L8];
+    for (int l = 0; l < L8; l++) {
+      x[l] = pts[blk * L8 + l];
+      acc[l] = coeffs[k - 1];
+    }
+    for (size_t j = k - 1; j-- > 0;) {
+      const u64 c = coeffs[j];
+      for (int l = 0; l < L8; l++) c8[l] = c;
+      gl_mul8(acc, x, t);
+      gl_add8(t, c8, acc);
+    }
+    memcpy(out + blk * L8, acc, L8 * sizeof(u64));
+  }
+  for (size_t i = blocks * L8; i < m; i++) {
+    u64 acc = coeffs[k - 1];
+    for (size_t j = k - 1; j-- > 0;) {
+      acc = gl_add(gl_mul(acc, pts[i]), coeffs[j]);
+    }
+    out[i] = acc;
+  }
+}
+
 void gl_poly_divmod(const u64* num, size_t dn, const u64* den, size_t dd,
                     u64* quot, u64* rem) {
   u64* work = new u64[dn + 1];

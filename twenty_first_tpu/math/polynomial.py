@@ -322,6 +322,15 @@ def _eval_many(coeffs: np.ndarray, cx: bool, points: np.ndarray, px: bool
     evaluated simultaneously, then combined with powers of p^blk):
     ~4*sqrt(k) numpy calls instead of 2k, same values."""
     x = cx or px
+    if not x:
+        kk = _trimmed_len(coeffs)
+        if kk and kk * points.shape[0] >= (1 << 14):
+            from .. import native
+
+            if native.available():
+                # lane-blocked native Horner: 8 points per vector register,
+                # OpenMP across blocks — replaces ~4*sqrt(k) numpy passes
+                return native.horner_points(coeffs[:kk], points)
     c = _lift3(coeffs) if (x and not cx) else coeffs
     z = _lift3(points) if (x and not px) else points
     m = z.shape[0]
@@ -928,6 +937,19 @@ class Polynomial:
         num_reducible_chunks = -(-(coeffs.shape[0] - (tail_length + chunk_size))
                                  // chunk_size)
         range_start = num_reducible_chunks * chunk_size
+        if not x:
+            from .. import native
+
+            if native.available():
+                # whole chunk loop in one native call: ~L/D short NTTs
+                # with zero per-chunk Python/numpy dispatch
+                log_d = domain_length.bit_length() - 1
+                window = native.reduce_by_ntt_modulus(
+                    coeffs, shift_ntt, tail_length,
+                    ntt_mod._host_stage_tw_flat(log_d, False),
+                    ntt_mod._host_stage_tw_flat(log_d, True),
+                    pow(domain_length, P - 2, P))
+                return Polynomial.from_array(window, False)
         window = _zeros(chunk_size + tail_length, x)
         if range_start < coeffs.shape[0]:
             take = coeffs.shape[0] - range_start
@@ -1210,6 +1232,16 @@ class Polynomial:
         # for the base field (the D&C object path for xfe keeps the old
         # 2^18 threshold: its per-node reduce costs more)
         horner_cap = 1 << 24 if (not self._x and not px) else 1 << 18
+        if not self._x and not px:
+            from .. import native
+
+            if native.available():
+                # with the lane-blocked native Horner (~3.2 G mul-add/s)
+                # and the native chunked reduce, the measured crossover
+                # vs reduce-then-evaluate sits near 2^26 element-ops
+                # (2^18 coeffs x 2^10 points: direct Horner 84 ms,
+                # native-reduce + short Horner ~40 ms)
+                horner_cap = 1 << 26
         if self.degree() <= RECURSION_CUTOFF_THRESHOLD \
                 or (self.degree() + 1) * m <= horner_cap:
             return _eval_many(self.to_array(), self._x, pts, px)
@@ -1243,8 +1275,21 @@ class Polynomial:
         for d in range(depth - 1, -1, -1):
             z[d] = Polynomial._mul_rows(z[d + 1][0::2], z[d + 1][1::2],
                                         False)
+        # Top-level reduce stays on the chunked fast_reduce: the Newton
+        # reversal-trick modulo was measured SLOWER here (864 ms of
+        # full-length convolutions vs 159 ms of L/D short chunk NTTs at
+        # 2^18 by 2^10 — O(L log L) with multi-pass constants loses to
+        # O(L log D) streaming chunks once L >> D).
         root = Polynomial.from_array(z[0][0].copy(), False)
         reduced = self.reduce(root).to_array()
+        # after the root reduction the problem is n_pad coefficients at n
+        # points; below ~2^24 element-ops the lane-blocked native Horner
+        # beats the remaining descent's numpy dispatch outright
+        if reduced.shape[0] * n <= (1 << 24):
+            from .. import native
+
+            if native.available() and reduced.shape[0]:
+                return native.horner_points(reduced, pts)
         rows = np.zeros((1, n_pad), dtype=np.uint64)
         rows[0, : reduced.shape[0]] = reduced
         e = 0

@@ -69,6 +69,11 @@ def _load():
     lib.tip5_hash_pairs.argtypes = [vp, vp, ctypes.c_size_t]
     lib.tip5_merkle_root.argtypes = [vp, vp, ctypes.c_size_t]
     lib.tip5_hash_varlen.argtypes = [vp, ctypes.c_size_t, vp]
+    lib.gl_horner_points.argtypes = [vp, ctypes.c_size_t, vp,
+                                     ctypes.c_size_t, vp]
+    lib.gl_reduce_by_ntt_modulus.argtypes = [
+        vp, ctypes.c_size_t, vp, ctypes.c_size_t, ctypes.c_size_t,
+        vp, vp, ctypes.c_uint64, vp]
     lib.gl_ntt.argtypes = [vp, ctypes.c_size_t, ctypes.c_uint64]
     lib.gl_intt.argtypes = [vp, ctypes.c_size_t, ctypes.c_uint64]
     lib.gl_ntt_rows.argtypes = [vp, ctypes.c_size_t, ctypes.c_size_t,
@@ -130,6 +135,37 @@ def tip5_hash_varlen(values: np.ndarray) -> np.ndarray:
     values = np.ascontiguousarray(values, dtype=np.uint64)
     out = np.empty(5, dtype=np.uint64)
     lib.tip5_hash_varlen(_u64p(values), values.size, _u64p(out))
+    return out
+
+
+def reduce_by_ntt_modulus(coeffs: np.ndarray, shift_ntt: np.ndarray,
+                          tail_len: int, tw_f: np.ndarray,
+                          tw_i: np.ndarray, n_inv: int) -> np.ndarray:
+    """Whole chunked structured-modulus reduction in one native call
+    (the reduce_by_ntt_friendly_modulus loop). Returns the surviving
+    window of len(shift_ntt) coefficients."""
+    lib = _load()
+    assert lib is not None
+    coeffs = np.ascontiguousarray(coeffs, dtype=np.uint64)
+    shift_ntt = np.ascontiguousarray(shift_ntt, dtype=np.uint64)
+    out = np.empty(shift_ntt.size, dtype=np.uint64)
+    lib.gl_reduce_by_ntt_modulus(
+        _u64p(coeffs), coeffs.size, _u64p(shift_ntt), shift_ntt.size,
+        tail_len, _u64p(tw_f), _u64p(tw_i), ctypes.c_uint64(n_inv),
+        _u64p(out))
+    return out
+
+
+def horner_points(coeffs: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """Multipoint evaluation: (k,) coefficients at (m,) points -> (m,)
+    via lane-blocked Horner (8 points per vector, OpenMP across blocks)."""
+    lib = _load()
+    assert lib is not None
+    coeffs = np.ascontiguousarray(coeffs, dtype=np.uint64)
+    pts = np.ascontiguousarray(pts, dtype=np.uint64)
+    out = np.empty(pts.shape[0], dtype=np.uint64)
+    lib.gl_horner_points(_u64p(coeffs), coeffs.size, _u64p(pts),
+                         pts.size, _u64p(out))
     return out
 
 
