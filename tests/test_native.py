@@ -32,14 +32,92 @@ def test_native_batch_inverse():
                                   np.ones_like(x))
 
 
+def _python_permute(row) -> list[int]:
+    """Independent pure-Python oracle (Tip5.permutation itself dispatches
+    to the native core, which must not be its own oracle)."""
+    from twenty_first_tpu.tip5.tip5 import _round_values
+
+    vals = [int(v) for v in row]
+    for r in range(5):
+        vals = _round_values(vals, r)
+    return vals
+
+
 def test_native_tip5_matches_python():
+    # 9 states: one full 8-lane SoA block + one scalar-tail state
     states = RNG.integers(0, P, size=(9, 16), dtype=np.uint64)
     got = native.tip5_permute_batch(states)
     for row in range(9):
-        sponge = Tip5.init()
-        sponge.state = [bfe(int(v)) for v in states[row]]
-        sponge.permutation()
-        assert [e.value() for e in sponge.state] == got[row].tolist()
+        assert _python_permute(states[row]) == got[row].tolist()
+
+
+def test_native_hash_pairs_and_merkle_root():
+    n = 20  # 10 pairs: blocks + tail
+    nodes = RNG.integers(0, P, size=(2 * n, 5), dtype=np.uint64)
+    got = native.tip5_hash_pairs(nodes)
+    for i in range(n):
+        state = list(nodes[2 * i]) + list(nodes[2 * i + 1]) + [1] * 6
+        want = _python_permute(state)[:5]
+        assert got[i].tolist() == want
+    leafs = RNG.integers(0, P, size=(16, 5), dtype=np.uint64)
+    root = native.tip5_merkle_root(leafs)
+    layer = leafs
+    while layer.shape[0] > 1:
+        nxt = np.empty((layer.shape[0] // 2, 5), dtype=np.uint64)
+        for i in range(nxt.shape[0]):
+            st = list(layer[2 * i]) + list(layer[2 * i + 1]) + [1] * 6
+            nxt[i] = _python_permute(st)[:5]
+        layer = nxt
+    np.testing.assert_array_equal(root, layer[0])
+
+
+def test_native_hash_varlen_matches_sponge():
+    for n in (0, 1, 9, 10, 11, 25, 163):
+        vals = RNG.integers(0, P, size=n, dtype=np.uint64)
+        got = native.tip5_hash_varlen(vals)
+        # independent oracle: explicit overwrite-mode sponge on python ints
+        state = [0] * 16
+        padded = [int(v) for v in vals] + [1]
+        padded += [0] * ((-len(padded)) % 10)
+        for c in range(0, len(padded), 10):
+            state[:10] = padded[c: c + 10]
+            state = _python_permute(state)
+        assert got.tolist() == state[:5]
+
+
+def test_native_horner_points():
+    for k, m in ((1, 3), (17, 40), (300, 70)):
+        coeffs = RNG.integers(0, P, size=k, dtype=np.uint64)
+        pts = RNG.integers(0, P, size=m, dtype=np.uint64)
+        got = native.horner_points(coeffs, pts)
+        for i in range(m):
+            acc = 0
+            for c in reversed(coeffs.tolist()):
+                acc = (acc * int(pts[i]) + int(c)) % P
+            assert int(got[i]) == acc
+
+
+def test_native_reduce_by_ntt_modulus_matches_python_loop():
+    from twenty_first_tpu.math.polynomial import Polynomial
+
+    rng = np.random.default_rng(5)
+    poly = Polynomial.from_array(rng.integers(0, P, size=3000,
+                                              dtype=np.uint64))
+    modulus = Polynomial.from_array(rng.integers(0, P, size=65,
+                                                 dtype=np.uint64))
+    shift_ntt, tail = modulus.shift_factor_ntt_with_tail_length()
+    native_out = poly.reduce_by_ntt_friendly_modulus(shift_ntt, tail)
+    # long-division oracle: reconstruct the monic structured multiple
+    # (the shift table stores its low n coefficients; leading X^n == 1)
+    n = shift_ntt.shape[0]
+    full = np.zeros(n + 1, dtype=np.uint64)
+    full[:n] = ntt_mod.ntt_host(shift_ntt, inverse=True)
+    full[n] = 1
+    _, want = poly.naive_divide(Polynomial.from_array(full))
+    got = native_out.to_array()
+    want_arr = want.to_array()
+    assert np.array_equal(got[: want_arr.shape[0]], want_arr)
+    assert not got[want_arr.shape[0]:].any()
 
 
 def test_native_ntt_matches_device():
