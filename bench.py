@@ -271,7 +271,7 @@ def main():
                     + jnp.sum(o[1], dtype=jnp.uint32))
 
         _p("tip5 perm start")
-        # the k-spread and estimator DESIGN.md §4's ~36M perms/s figure was
+        # the k-spread and estimator behind DESIGN.md §4's sustained figure
         # measured with (scripts/tip5_w64_ab.py): k 2 vs 18, 8 rounds,
         # median of differences
         t_perm = timed_chain(perm_chain, (slo, shi), 2, 18, reps=8)
