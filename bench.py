@@ -65,6 +65,29 @@ def main():
     from twenty_first_tpu.math import gf, ntt
     from twenty_first_tpu.tip5 import permutation as tip5_dev
 
+    # The axon tunnel can wedge with jax.devices() blocking indefinitely
+    # (observed: >1 h with the claim loop never granted). A watchdog emits
+    # a diagnostic JSON line instead of hanging the driver's bench step.
+    import threading
+
+    _init_done = threading.Event()
+
+    def _watchdog():
+        grace = float(os.environ.get("BENCH_DEVICE_INIT_TIMEOUT_S", "900"))
+        if not _init_done.wait(grace):
+            print(json.dumps({
+                "metric": "ntt_2^24_goldilocks_elems_per_s_per_chip",
+                "value": 0.0,
+                "unit": "elements/s",
+                "vs_baseline": 0.0,
+                "extras": {"error": "device-init-timeout",
+                           "detail": f"jax.devices() did not return within "
+                                     f"{grace:.0f}s (tunnel wedged)"},
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    _p("device init start")
     rng = np.random.default_rng(0)
     p = (1 << 64) - (1 << 32) + 1
     extras = {
@@ -72,6 +95,8 @@ def main():
         "methodology": ("device rows: interleaved k-chain, median of "
                         "per-round differences; host rows: min wall-clock"),
     }
+    _init_done.set()
+    _p("device init done")
     dropped = []
 
     def remaining():
