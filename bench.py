@@ -605,29 +605,37 @@ def main():
         sdiag_f = ntt._scrambled_diag_device(clog, False)
         sdiag_i = ntt._scrambled_diag_device(clog, True)
 
+        # diag tables as jit ARGUMENTS — captured constants ride the
+        # remote-compile request body (32 MB at 2^22 -> HTTP 413)
         @functools.partial(jax.jit, static_argnames=("k",))
-        def conv_nat_chain(al, ah, tl, th, k):
+        def conv_nat_chain(al, ah, tl, th, dfl, dfh, dil, dih, k):
             o = (al, ah)
             for _ in range(k):
-                f = ntt.four_step_ntt_traceable(o, clog, False, cdiag_f)
+                f = ntt.four_step_ntt_traceable(o, clog, False, (dfl, dfh))
                 o = ntt.four_step_ntt_traceable(
-                    gf.mul(f, (tl, th)), clog, True, cdiag_i)
+                    gf.mul(f, (tl, th)), clog, True, (dil, dih))
             return (jnp.sum(o[0], dtype=jnp.uint32)
                     + jnp.sum(o[1], dtype=jnp.uint32))
 
         @functools.partial(jax.jit, static_argnames=("k",))
-        def conv_scr_chain(al, ah, tl, th, k):
+        def conv_scr_chain(al, ah, tl, th, dfl, dfh, dil, dih, k):
             o = (al, ah)
             for _ in range(k):
-                f = ntt.four_step_ntt_scrambled(o, clog, False, sdiag_f)
+                f = ntt.four_step_ntt_scrambled(o, clog, False, (dfl, dfh))
                 o = ntt.four_step_ntt_scrambled(
-                    gf.mul(f, (tl, th)), clog, True, sdiag_i)
+                    gf.mul(f, (tl, th)), clog, True, (dil, dih))
             return (jnp.sum(o[0], dtype=jnp.uint32)
                     + jnp.sum(o[1], dtype=jnp.uint32))
 
         _p("conv delta start")
-        t_nat = timed_chain(conv_nat_chain, (calo, cahi, tnlo, tnhi), 1, 5)
-        t_scr = timed_chain(conv_scr_chain, (calo, cahi, tslo, tshi), 1, 5)
+        t_nat = timed_chain(
+            conv_nat_chain,
+            (calo, cahi, tnlo, tnhi, cdiag_f[0], cdiag_f[1],
+             cdiag_i[0], cdiag_i[1]), 1, 5)
+        t_scr = timed_chain(
+            conv_scr_chain,
+            (calo, cahi, tslo, tshi, sdiag_f[0], sdiag_f[1],
+             sdiag_i[0], sdiag_i[1]), 1, 5)
         extras["ntt_conv_2^22_natural_s"] = t_nat
         extras["ntt_conv_2^22_scrambled_s"] = t_scr
 

@@ -35,32 +35,40 @@ for clog in (22, 24):
     sdiag_f = ntt._scrambled_diag_device(clog, False)
     sdiag_i = ntt._scrambled_diag_device(clog, True)
 
+    # diag tables MUST be jit ARGUMENTS: captured as constants they ride
+    # the remote-compile request body (32 MB at 2^22 -> HTTP 413)
     @functools.partial(jax.jit, static_argnames=("k",))
-    def nat(al, ah, tl, th, k, clog=clog, df=cdiag_f, di=cdiag_i):
+    def nat(al, ah, tl, th, dfl, dfh, dil, dih, k, clog=clog):
         o = (al, ah)
         for _ in range(k):
-            f = ntt.four_step_ntt_traceable(o, clog, False, df)
-            o = ntt.four_step_ntt_traceable(gf.mul(f, (tl, th)), clog, True, di)
+            f = ntt.four_step_ntt_traceable(o, clog, False, (dfl, dfh))
+            o = ntt.four_step_ntt_traceable(
+                gf.mul(f, (tl, th)), clog, True, (dil, dih))
         return jnp.sum(o[0], dtype=jnp.uint32) + jnp.sum(o[1], dtype=jnp.uint32)
 
     @functools.partial(jax.jit, static_argnames=("k",))
-    def scr(al, ah, tl, th, k, clog=clog, df=sdiag_f, di=sdiag_i):
+    def scr(al, ah, tl, th, dfl, dfh, dil, dih, k, clog=clog):
         o = (al, ah)
         for _ in range(k):
-            f = ntt.four_step_ntt_scrambled(o, clog, False, df)
-            o = ntt.four_step_ntt_scrambled(gf.mul(f, (tl, th)), clog, True, di)
+            f = ntt.four_step_ntt_scrambled(o, clog, False, (dfl, dfh))
+            o = ntt.four_step_ntt_scrambled(
+                gf.mul(f, (tl, th)), clog, True, (dil, dih))
         return jnp.sum(o[0], dtype=jnp.uint32) + jnp.sum(o[1], dtype=jnp.uint32)
 
+    nargs = (calo, cahi, tnlo, tnhi, cdiag_f[0], cdiag_f[1],
+             cdiag_i[0], cdiag_i[1])
+    sargs = (calo, cahi, tslo, tshi, sdiag_f[0], sdiag_f[1],
+             sdiag_i[0], sdiag_i[1])
     for k in (1, 5):
-        int(nat(calo, cahi, tnlo, tnhi, k=k))
-        int(scr(calo, cahi, tslo, tshi, k=k))
+        int(nat(*nargs, k=k))
+        int(scr(*sargs, k=k))
     rn, rs = [], []
     for r in range(8):
-        t0 = time.perf_counter(); int(nat(calo, cahi, tnlo, tnhi, k=1)); tl = time.perf_counter() - t0
-        t0 = time.perf_counter(); int(nat(calo, cahi, tnlo, tnhi, k=5)); th = time.perf_counter() - t0
+        t0 = time.perf_counter(); int(nat(*nargs, k=1)); tl = time.perf_counter() - t0
+        t0 = time.perf_counter(); int(nat(*nargs, k=5)); th = time.perf_counter() - t0
         rn.append((th - tl) / 4)
-        t0 = time.perf_counter(); int(scr(calo, cahi, tslo, tshi, k=1)); tl = time.perf_counter() - t0
-        t0 = time.perf_counter(); int(scr(calo, cahi, tslo, tshi, k=5)); th = time.perf_counter() - t0
+        t0 = time.perf_counter(); int(scr(*sargs, k=1)); tl = time.perf_counter() - t0
+        t0 = time.perf_counter(); int(scr(*sargs, k=5)); th = time.perf_counter() - t0
         rs.append((th - tl) / 4)
     rn.sort(); rs.sort()
     print(f"2^{clog} conv round trip: natural med {rn[4]*1e3:.2f} ms, "

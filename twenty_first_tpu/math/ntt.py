@@ -1267,27 +1267,41 @@ def _cpu_fusion_break(x):
     return x
 
 
-def _conv_fwd_inv(log_n: int):
-    """(forward, inverse) traceable transforms for the convolution graph:
-    scrambled four-step above the four-step threshold (no gathers), the
-    plain last-axis core below it (order then natural on both sides)."""
+def _conv_diag_args(log_n: int):
+    """The scrambled forward/inverse diagonal limb pairs as a flat 4-tuple
+    of device arrays — passed as jit ARGUMENTS, never captured: baked-in
+    diagonals ride the compile payload (32 MB at 2^22 blew the remote
+    compile helper's request limit). Below the four-step threshold the
+    graph needs no diagonals; tiny zero placeholders keep one signature."""
     if log_n >= FOUR_STEP_THRESHOLD_LOG2:
         dfwd = _scrambled_diag_device(log_n, False)
         dinv = _scrambled_diag_device(log_n, True)
-        return (lambda t: four_step_ntt_scrambled(t, log_n, False, dfwd),
-                lambda t: four_step_ntt_scrambled(t, log_n, True, dinv))
+        return (dfwd[0], dfwd[1], dinv[0], dinv[1])
+    z = jnp.zeros((1,), jnp.uint32)
+    return (z, z, z, z)
+
+
+def _conv_fwd_inv(log_n: int, dfl, dfh, dil, dih):
+    """(forward, inverse) traceable transforms for the convolution graph:
+    scrambled four-step above the four-step threshold (no gathers), the
+    plain last-axis core below it (order then natural on both sides).
+    Diagonal operands come in as traced arguments (see _conv_diag_args)."""
+    if log_n >= FOUR_STEP_THRESHOLD_LOG2:
+        return (lambda t: four_step_ntt_scrambled(t, log_n, False,
+                                                  (dfl, dfh)),
+                lambda t: four_step_ntt_scrambled(t, log_n, True,
+                                                  (dil, dih)))
     return (lambda t: ntt_limbs_traceable(t, inverse=False),
             lambda t: ntt_limbs_traceable(t, inverse=True))
 
 
 @functools.lru_cache(maxsize=None)
 def _jitted_conv(log_n: int, xfield: bool, divide: bool):
-    fwd, inv = _conv_fwd_inv(log_n)
-
     @jax.jit
-    def run(alo, ahi, blo, bhi):
+    def run(alo, ahi, blo, bhi, dfl, dfh, dil, dih):
         from . import gf_ext
 
+        fwd, inv = _conv_fwd_inv(log_n, dfl, dfh, dil, dih)
         fa = _cpu_fusion_break(fwd((alo, ahi)))
         fb = _cpu_fusion_break(fwd((blo, bhi)))
         if xfield:
@@ -1305,12 +1319,11 @@ def _jitted_conv(log_n: int, xfield: bool, divide: bool):
 
 @functools.lru_cache(maxsize=None)
 def _jitted_conv_table(log_n: int, xfield: bool, table_xfield: bool):
-    fwd, inv = _conv_fwd_inv(log_n)
-
     @jax.jit
-    def run(alo, ahi, tlo, thi):
+    def run(alo, ahi, tlo, thi, dfl, dfh, dil, dih):
         from . import gf_ext
 
+        fwd, inv = _conv_fwd_inv(log_n, dfl, dfh, dil, dih)
         fa = _cpu_fusion_break(fwd((alo, ahi)))
         if xfield and table_xfield:
             prod = gf_ext.mul(fa, (tlo, thi))
@@ -1386,11 +1399,13 @@ def conv_values(a: np.ndarray, b: np.ndarray, *, xfield: bool = False,
     if xfield:
         al, bl = gf_ext.to_limbs(a), gf_ext.to_limbs(b)
         log_n = _check_len(a.shape[-2])
-        out = _jitted_conv(log_n, True, divide)(al[0], al[1], bl[0], bl[1])
+        out = _jitted_conv(log_n, True, divide)(
+            al[0], al[1], bl[0], bl[1], *_conv_diag_args(log_n))
         return gf_ext.from_limbs(out)
     log_n = _check_len(a.shape[-1])
     al, bl = gf.to_limbs(a), gf.to_limbs(b)
-    out = _jitted_conv(log_n, False, divide)(al[0], al[1], bl[0], bl[1])
+    out = _jitted_conv(log_n, False, divide)(
+        al[0], al[1], bl[0], bl[1], *_conv_diag_args(log_n))
     return gf.from_limbs(out)
 
 
@@ -1430,13 +1445,13 @@ def conv_table_values(a: np.ndarray, table, *, xfield: bool = False,
         al = gf_ext.to_limbs(a)
         log_n = _check_len(a.shape[-2])
         out = _jitted_conv_table(log_n, True, table_xfield)(
-            al[0], al[1], payload[0], payload[1])
+            al[0], al[1], payload[0], payload[1], *_conv_diag_args(log_n))
         return gf_ext.from_limbs(out)
     a = np.asarray(a, dtype=np.uint64)
     log_n = _check_len(a.shape[-1])
     al = gf.to_limbs(a)
     out = _jitted_conv_table(log_n, False, False)(
-        al[0], al[1], payload[0], payload[1])
+        al[0], al[1], payload[0], payload[1], *_conv_diag_args(log_n))
     return gf.from_limbs(out)
 
 
