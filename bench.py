@@ -582,11 +582,12 @@ def main():
             extras["pallas_hw_bit_exact"] = f"error:{type(e).__name__}"
 
     # ======================================================================
-    # orderless-convolution delta (DESIGN.md §5 DIF row, wired round 3):
-    # full NTT round trip with a prepared table, natural order (pays the
-    # bit-reverse gathers) vs scrambled order (pays none). The scrambled
-    # row is the production path of fast_multiply / clean_divide /
-    # reduce_by_ntt_friendly_modulus above the device crossover.
+    # orderless-convolution delta (DESIGN.md §5 DIF row): full NTT round
+    # trip with a prepared table, natural order (pays the bit-reverse
+    # gathers) vs scrambled order (pays none). Measured on v5e the
+    # scrambled variant LOSES 5-6% (the removed gathers are the cheap
+    # major-axis kind), so production conv uses natural order; these rows
+    # keep the comparison pinned in every artifact.
     # ======================================================================
     if block(["ntt_conv_2^22_natural_s", "ntt_conv_2^22_scrambled_s"], 90):
         clog = 22

@@ -42,12 +42,19 @@ def _oracle_conv(a, b, xfield=False, divide=False):
     return ntt.ntt_values(prod, inverse=True)
 
 
-@pytest.fixture(params=["host", "device"])
+@pytest.fixture(params=["host", "device", "device-scrambled"])
 def conv_path(request, monkeypatch):
-    """Run each test on the host-native path and on the forced-device
-    scrambled path (crossover knob pinned to 0)."""
-    if request.param == "device":
+    """Run each test on the host-native path and on BOTH forced-device
+    transform orders (crossover knob pinned to 0): the production
+    natural-order four-step and the gather-free scrambled experiment
+    (TWENTY_FIRST_TPU_CONV_SCRAMBLED=1)."""
+    if request.param.startswith("device"):
         monkeypatch.setattr(ntt, "HOST_CONV_MAX_ELEMS", 0)
+    if request.param == "device-scrambled":
+        monkeypatch.setenv("TWENTY_FIRST_TPU_CONV_SCRAMBLED", "1")
+    else:
+        monkeypatch.delenv("TWENTY_FIRST_TPU_CONV_SCRAMBLED",
+                           raising=False)
     return request.param
 
 

@@ -1267,41 +1267,63 @@ def _cpu_fusion_break(x):
     return x
 
 
-def _conv_diag_args(log_n: int):
-    """The scrambled forward/inverse diagonal limb pairs as a flat 4-tuple
-    of device arrays — passed as jit ARGUMENTS, never captured: baked-in
-    diagonals ride the compile payload (32 MB at 2^22 blew the remote
-    compile helper's request limit). Below the four-step threshold the
-    graph needs no diagonals; tiny zero placeholders keep one signature."""
+# Which in-graph transform the convolution path uses above the four-step
+# threshold. The scrambled (gather-free) variant was the theoretical win
+# (DESIGN.md §5 DIF row) but MEASURED 5-6% SLOWER than the natural-order
+# round trip on v5e at 2^22 and 2^24 (scripts/prof_conv_ab.py): the DIT
+# gathers it removes are the cheap major-axis kind, and the DIF/norev
+# pipeline gives up the piece-paired radix-4 fusion. Kept selectable for
+# re-testing on future hardware/compilers.
+def _conv_scrambled() -> bool:
+    return os.environ.get("TWENTY_FIRST_TPU_CONV_SCRAMBLED") == "1"
+
+
+def _conv_diag_args(log_n: int, scrambled: bool):
+    """Forward/inverse diagonal limb pairs as a flat 4-tuple of device
+    arrays — passed as jit ARGUMENTS, never captured: baked-in diagonals
+    ride the compile payload (32 MB at 2^22 blew the remote compile
+    helper's request limit). Below the four-step threshold the graph
+    needs no diagonals; tiny zero placeholders keep one signature."""
     if log_n >= FOUR_STEP_THRESHOLD_LOG2:
-        dfwd = _scrambled_diag_device(log_n, False)
-        dinv = _scrambled_diag_device(log_n, True)
+        if scrambled:
+            dfwd = _scrambled_diag_device(log_n, False)
+            dinv = _scrambled_diag_device(log_n, True)
+        else:
+            dfwd = _four_step_diag_device(log_n, False)
+            dinv = _four_step_diag_device(log_n, True)
         return (dfwd[0], dfwd[1], dinv[0], dinv[1])
     z = jnp.zeros((1,), jnp.uint32)
     return (z, z, z, z)
 
 
-def _conv_fwd_inv(log_n: int, dfl, dfh, dil, dih):
+def _conv_fwd_inv(log_n: int, scrambled: bool, dfl, dfh, dil, dih):
     """(forward, inverse) traceable transforms for the convolution graph:
-    scrambled four-step above the four-step threshold (no gathers), the
-    plain last-axis core below it (order then natural on both sides).
-    Diagonal operands come in as traced arguments (see _conv_diag_args)."""
+    four-step above the threshold (natural order by default; scrambled
+    gather-free order behind TWENTY_FIRST_TPU_CONV_SCRAMBLED=1), the
+    plain last-axis core below it. Diagonal operands come in as traced
+    arguments (see _conv_diag_args)."""
     if log_n >= FOUR_STEP_THRESHOLD_LOG2:
-        return (lambda t: four_step_ntt_scrambled(t, log_n, False,
+        if scrambled:
+            return (lambda t: four_step_ntt_scrambled(t, log_n, False,
+                                                      (dfl, dfh)),
+                    lambda t: four_step_ntt_scrambled(t, log_n, True,
+                                                      (dil, dih)))
+        return (lambda t: four_step_ntt_traceable(t, log_n, False,
                                                   (dfl, dfh)),
-                lambda t: four_step_ntt_scrambled(t, log_n, True,
+                lambda t: four_step_ntt_traceable(t, log_n, True,
                                                   (dil, dih)))
     return (lambda t: ntt_limbs_traceable(t, inverse=False),
             lambda t: ntt_limbs_traceable(t, inverse=True))
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_conv(log_n: int, xfield: bool, divide: bool):
+def _jitted_conv(log_n: int, xfield: bool, divide: bool,
+                 scrambled: bool = False):
     @jax.jit
     def run(alo, ahi, blo, bhi, dfl, dfh, dil, dih):
         from . import gf_ext
 
-        fwd, inv = _conv_fwd_inv(log_n, dfl, dfh, dil, dih)
+        fwd, inv = _conv_fwd_inv(log_n, scrambled, dfl, dfh, dil, dih)
         fa = _cpu_fusion_break(fwd((alo, ahi)))
         fb = _cpu_fusion_break(fwd((blo, bhi)))
         if xfield:
@@ -1318,12 +1340,13 @@ def _jitted_conv(log_n: int, xfield: bool, divide: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_conv_table(log_n: int, xfield: bool, table_xfield: bool):
+def _jitted_conv_table(log_n: int, xfield: bool, table_xfield: bool,
+                       scrambled: bool = False):
     @jax.jit
     def run(alo, ahi, tlo, thi, dfl, dfh, dil, dih):
         from . import gf_ext
 
-        fwd, inv = _conv_fwd_inv(log_n, dfl, dfh, dil, dih)
+        fwd, inv = _conv_fwd_inv(log_n, scrambled, dfl, dfh, dil, dih)
         fa = _cpu_fusion_break(fwd((alo, ahi)))
         if xfield and table_xfield:
             prod = gf_ext.mul(fa, (tlo, thi))
@@ -1338,8 +1361,12 @@ def _jitted_conv_table(log_n: int, xfield: bool, table_xfield: bool):
 # One-shot convolutions have a lower device crossover than single
 # transforms: a conv pays 3 tunnel transfers (2 up, 1 down) where three
 # ntt_values round trips pay 6, and keeps the pointwise combine on device.
-# Defaults to the single-transform knob until measured otherwise; override
-# with TWENTY_FIRST_TPU_HOST_CONV_MAX_ELEMS.
+# Measured through this environment's tunnel (prof_conv_ab.py, e2e):
+#   2^18: host 21 ms vs device 331 ms; 2^20: 55 ms vs 892 ms;
+#   2^22: 328 ms vs 3.8 s — transfers dominate, host-native wins at every
+# practical one-shot size here. Default matches the single-transform knob
+# (right order for PCIe-attached parts); override with
+# TWENTY_FIRST_TPU_HOST_CONV_MAX_ELEMS.
 HOST_CONV_MAX_ELEMS = int(os.environ.get(
     "TWENTY_FIRST_TPU_HOST_CONV_MAX_ELEMS",
     os.environ.get("TWENTY_FIRST_TPU_HOST_NTT_MAX_ELEMS", str(1 << 22))))
@@ -1383,12 +1410,13 @@ def conv_values(a: np.ndarray, b: np.ndarray, *, xfield: bool = False,
 
     Large inputs run on device in ONE jitted graph: one host->device
     transfer per operand and one device->host for the result (vs three
-    round trips through ntt_values), and zero bit-reverse gathers above
-    the four-step threshold (the scrambled order cancels). Small inputs
-    stay on the host-native kernel (same crossover rationale as
-    ntt_values). a, b: equal-shape uint64 arrays — (..., n) base-field,
-    or (..., n, 3) extension-field when ``xfield``. Cyclic convolution
-    over the last value axis; callers zero-pad."""
+    round trips through ntt_values). The in-graph transform is the
+    natural-order four-step (measured faster than the gather-free
+    scrambled variant on v5e — see _conv_scrambled); small inputs stay
+    on the host-native kernel (same crossover rationale as ntt_values).
+    a, b: equal-shape uint64 arrays — (..., n) base-field, or (..., n, 3)
+    extension-field when ``xfield``. Cyclic convolution over the last
+    value axis; callers zero-pad."""
     from . import gf_ext
 
     a = np.asarray(a, dtype=np.uint64)
@@ -1396,16 +1424,17 @@ def conv_values(a: np.ndarray, b: np.ndarray, *, xfield: bool = False,
     if a.size <= HOST_CONV_MAX_ELEMS:
         _check_len(a.shape[-2] if xfield else a.shape[-1])
         return _conv_host(a, b, xfield, divide)
+    scr = _conv_scrambled()
     if xfield:
         al, bl = gf_ext.to_limbs(a), gf_ext.to_limbs(b)
         log_n = _check_len(a.shape[-2])
-        out = _jitted_conv(log_n, True, divide)(
-            al[0], al[1], bl[0], bl[1], *_conv_diag_args(log_n))
+        out = _jitted_conv(log_n, True, divide, scr)(
+            al[0], al[1], bl[0], bl[1], *_conv_diag_args(log_n, scr))
         return gf_ext.from_limbs(out)
     log_n = _check_len(a.shape[-1])
     al, bl = gf.to_limbs(a), gf.to_limbs(b)
-    out = _jitted_conv(log_n, False, divide)(
-        al[0], al[1], bl[0], bl[1], *_conv_diag_args(log_n))
+    out = _jitted_conv(log_n, False, divide, scr)(
+        al[0], al[1], bl[0], bl[1], *_conv_diag_args(log_n, scr))
     return gf.from_limbs(out)
 
 
@@ -1413,8 +1442,9 @@ def conv_table_prepare(table_values: np.ndarray, *, xfield: bool = False):
     """Natural-order NTT values -> a prepared table for repeated
     conv_table_values calls (the reference's reduce_by_ntt_friendly_modulus
     pattern, polynomial.rs:1087-1142). Large tables become device limb
-    planes in the convolution domain's (scrambled) order; small tables stay
-    natural-order host arrays for the host-native round trip.
+    planes in the convolution domain's order (natural by default;
+    pre-permuted when the scrambled experiment is enabled); small tables
+    stay natural-order host arrays for the host-native round trip.
     table_values: (n,) base-field or (n, 3) extension-field."""
     from . import gf_ext
 
@@ -1422,11 +1452,13 @@ def conv_table_prepare(table_values: np.ndarray, *, xfield: bool = False):
     n = arr.shape[-2] if xfield else arr.shape[-1]
     log_n = _check_len(n)
     if arr.size <= HOST_CONV_MAX_ELEMS:
-        return ("host", arr)
-    if log_n >= FOUR_STEP_THRESHOLD_LOG2:
+        return ("host", arr, False)
+    scr = _conv_scrambled()
+    if scr and log_n >= FOUR_STEP_THRESHOLD_LOG2:
         idx = scrambled_index(log_n)
         arr = arr[idx] if not xfield else arr[idx, :]
-    return ("dev", gf_ext.to_limbs(arr) if xfield else gf.to_limbs(arr))
+    return ("dev", gf_ext.to_limbs(arr) if xfield else gf.to_limbs(arr),
+            scr)
 
 
 def conv_table_values(a: np.ndarray, table, *, xfield: bool = False,
@@ -1437,21 +1469,22 @@ def conv_table_values(a: np.ndarray, table, *, xfield: bool = False,
     a: (..., n) base-field or (..., n, 3) extension-field."""
     from . import gf_ext
 
-    kind, payload = table
+    kind, payload, scr = table
     if kind == "host":
         a = np.asarray(a, dtype=np.uint64)
         return _conv_host(a, None, xfield, False, table=payload)
     if xfield:
         al = gf_ext.to_limbs(a)
         log_n = _check_len(a.shape[-2])
-        out = _jitted_conv_table(log_n, True, table_xfield)(
-            al[0], al[1], payload[0], payload[1], *_conv_diag_args(log_n))
+        out = _jitted_conv_table(log_n, True, table_xfield, scr)(
+            al[0], al[1], payload[0], payload[1],
+            *_conv_diag_args(log_n, scr))
         return gf_ext.from_limbs(out)
     a = np.asarray(a, dtype=np.uint64)
     log_n = _check_len(a.shape[-1])
     al = gf.to_limbs(a)
-    out = _jitted_conv_table(log_n, False, False)(
-        al[0], al[1], payload[0], payload[1], *_conv_diag_args(log_n))
+    out = _jitted_conv_table(log_n, False, False, scr)(
+        al[0], al[1], payload[0], payload[1], *_conv_diag_args(log_n, scr))
     return gf.from_limbs(out)
 
 
