@@ -644,20 +644,30 @@ def main():
     # STARK LDE + commit pipeline (BASELINE config 4: 2^22-row commit)
     # ======================================================================
     if block("lde_commit_2^22_rows_w8_s", 110):
-        from twenty_first_tpu.parallel.pipeline import trace_lde_commit
+        from twenty_first_tpu.parallel.pipeline import (
+            lde_commit_diags, trace_lde_commit)
 
         # extended-domain rows (default: trace n = 2^20 x 4 = 2^22 rows)
         lde_log_rows = int(os.environ.get("BENCH_LDE_LOG_ROWS", "22"))
         lde_w = 8                  # trace columns (<= RATE)
-        tr = rng.integers(0, p, size=(lde_w, 1 << (lde_log_rows - 2)),
-                          dtype=np.uint64)
+        lde_n = 1 << (lde_log_rows - 2)
+        tr = rng.integers(0, p, size=(lde_w, lde_n), dtype=np.uint64)
         tlo, thi = (jax.device_put(v) for v in gf.to_limbs(tr))
+        # four-step diagonals as jit args (compile-payload rule)
+        inv_d, fwd_d = lde_commit_diags(lde_n, 4)
+        z1 = jnp.zeros((1,), jnp.uint32)
+        inv_d = inv_d or (z1, z1)
+        fwd_d = fwd_d or (z1, z1)
 
-        @functools.partial(jax.jit, static_argnames=("k",))
-        def lde_chain(a, b, k):
+        @functools.partial(jax.jit,
+                           static_argnames=("k", "use_inv", "use_fwd"))
+        def lde_chain(a, b, il, ih, fl, fh, k, use_inv=True, use_fwd=True):
+            diags = ((il, ih) if use_inv else None,
+                     (fl, fh) if use_fwd else None)
             # carry-dependent input: prevents loop-invariant hoisting
             def body(i, acc):
-                r = trace_lde_commit((a ^ acc[0], b), expansion=4)
+                r = trace_lde_commit((a ^ acc[0], b), expansion=4,
+                                     ntt_diags=diags)
                 return (acc[0] ^ jnp.sum(r[0], dtype=jnp.uint32),
                         acc[1] + jnp.sum(r[1], dtype=jnp.uint32))
             o = jax.lax.fori_loop(
@@ -666,7 +676,12 @@ def main():
             return o[0] + o[1]
 
         _p("lde commit start")
-        t_lde = timed_chain(lde_chain, (tlo, thi), 1, 3)
+        from twenty_first_tpu.parallel.pipeline import lde_commit_diags as _d
+        real_inv, real_fwd = _d(lde_n, 4)
+        t_lde = timed_chain(
+            functools.partial(lde_chain, use_inv=real_inv is not None,
+                              use_fwd=real_fwd is not None),
+            (tlo, thi, inv_d[0], inv_d[1], fwd_d[0], fwd_d[1]), 1, 3)
         extras[f"lde_commit_2^{lde_log_rows}_rows_w8_s"] = t_lde
 
     for name in dropped:

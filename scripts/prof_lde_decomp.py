@@ -48,12 +48,20 @@ leafs_host = rng.integers(0, P, size=(big_n, 5), dtype=np.uint64)
 llo, lhi = (jax.device_put(v) for v in gf.to_limbs(leafs_host))
 
 
-def lde_half(lo, hi):
-    coeff = ntt_mod.ntt_limbs_traceable((lo, hi), inverse=True)
+from twenty_first_tpu.parallel.pipeline import lde_commit_diags
+
+INV_D, FWD_D = lde_commit_diags(n, 4)
+# diag tables ride as chain ARGUMENTS (compile-payload rule)
+DIAG_ARGS = (INV_D[0], INV_D[1], FWD_D[0], FWD_D[1])
+
+
+def lde_half(lo, hi, il, ih, fl, fh):
+    coeff = ntt_mod.ntt_limbs_traceable((lo, hi), inverse=True,
+                                        four_step_diag=(il, ih))
     scaled = gf.mul(coeff, (pw_lo[None, :], pw_hi[None, :]))
     pad = ((0, 0), (0, big_n - n))
     padded = (jnp.pad(scaled[0], pad), jnp.pad(scaled[1], pad))
-    return ntt_mod.ntt_limbs_traceable(padded)
+    return ntt_mod.ntt_limbs_traceable(padded, four_step_diag=(fl, fh))
 
 
 def leaf_half(lo, hi):
@@ -69,20 +77,21 @@ def leaf_half(lo, hi):
 
 
 STAGES = {
-    "a_lde": (lde_half, (tlo, thi)),
+    "a_lde": (lde_half, (tlo, thi) + DIAG_ARGS),
     "b_leafhash": (leaf_half, (elo, ehi)),
     "c_merkle": (lambda lo, hi: dist_merkle._reduce_layers((lo, hi), 22),
                  (llo, lhi)),
-    "d_full": (lambda lo, hi: trace_lde_commit((lo, hi), expansion=4),
-               (tlo, thi)),
+    "d_full": (lambda lo, hi, il, ih, fl, fh: trace_lde_commit(
+        (lo, hi), expansion=4, ntt_diags=((il, ih), (fl, fh))),
+        (tlo, thi) + DIAG_ARGS),
 }
 
 
 def chain(fn):
     @functools.partial(jax.jit, static_argnames=("k",))
-    def run(a, b, k):
+    def run(a, b, *extra, k):
         def body(i, acc):
-            r = fn(a ^ acc[0], b)
+            r = fn(a ^ acc[0], b, *extra)
             return (acc[0] ^ jnp.sum(r[0], dtype=jnp.uint32),
                     acc[1] + jnp.sum(r[1], dtype=jnp.uint32))
         o = jax.lax.fori_loop(

@@ -37,3 +37,28 @@ def test_trace_lde_commit_matches_scalar_pipeline():
         leafs.append(Digest(Tip5.hash_10(row)).to_array())
     want = MerkleTree.new(np.array(leafs, dtype=np.uint64)).root()
     assert Digest.from_array(root) == want
+
+
+def test_trace_lde_commit_diags_bit_exact():
+    """The four-step-diagonal fast path (ntt_diags threaded as arguments,
+    round 3) produces the identical root to the diag-less fallback."""
+    import jax
+
+    from twenty_first_tpu.math import gf
+    from twenty_first_tpu.parallel.pipeline import (
+        lde_commit_diags, trace_lde_commit)
+
+    rng = np.random.default_rng(3)
+    P = (1 << 64) - (1 << 32) + 1
+    w, n = 2, 1 << 17  # >= four-step threshold for both transforms
+    tr = rng.integers(0, P, size=(w, n), dtype=np.uint64)
+    planes = gf.to_limbs(tr)
+    diags = lde_commit_diags(n, 4)
+    assert diags[0] is not None and diags[1] is not None
+    slow = jax.jit(lambda s: trace_lde_commit(s, expansion=4))(planes)
+    fast = jax.jit(
+        lambda s, il, ih, fl, fh: trace_lde_commit(
+            s, expansion=4, ntt_diags=((il, ih), (fl, fh))))(
+        planes, diags[0][0], diags[0][1], diags[1][0], diags[1][1])
+    np.testing.assert_array_equal(np.asarray(slow[0]), np.asarray(fast[0]))
+    np.testing.assert_array_equal(np.asarray(slow[1]), np.asarray(fast[1]))

@@ -829,13 +829,23 @@ def _jitted_ntt(log_n: int, inverse: bool):
     return run
 
 
-def ntt_limbs_traceable(x, inverse: bool = False):
+def ntt_limbs_traceable(x, inverse: bool = False, four_step_diag=None):
     """Trace-composable last-axis NTT (no jit wrapper; tables are numpy
-    constants closed over by the caller's trace)."""
+    constants closed over by the caller's trace).
+
+    Above the four-step threshold pass ``four_step_diag`` (the matching
+    `_four_step_diag_device(log_n, inverse)` pair, fetched OUTSIDE jit and
+    threaded through as arguments — a captured diagonal is 32 MB of
+    compile payload at 2^22) to run the slab-mapped four-step instead of
+    the plain last-axis core; without it, large traced transforms fall
+    back to the unslabbed core (measured ~9x slower at (8, 2^22): every
+    butterfly layer materializes)."""
     lo, hi = x
     log_n = _check_len(lo.shape[-1])
     if lo.shape[-1] <= 1:
         return x
+    if four_step_diag is not None and log_n >= FOUR_STEP_THRESHOLD_LOG2:
+        return four_step_ntt_traceable(x, log_n, inverse, four_step_diag)
     out = _ntt_core((lo, hi), log_n, inverse)
     if inverse:
         out = gf.mul_const(out, pow(1 << log_n, P - 2, P))
@@ -964,6 +974,42 @@ def _local_pass(x, log_len: int, inverse: bool, diag=None, post_const=None,
             lo, hi = jnp.swapaxes(lo, -1, -2), jnp.swapaxes(hi, -1, -2)
         return finish(core((lo, hi), log_len, inverse))
     nslab = w // _SLAB
+
+    batch = lo.shape[:-2]
+    bsz = int(np.prod(batch)) if batch else 1
+    if bsz > 1:
+        # Batched matrices: fold the batch into the slab-map axis so each
+        # map body stays a single (len, _SLAB) matrix. Leaving the batch
+        # inside the body multiplies its VMEM working set by the batch
+        # (measured: the (8, 2^22) LDE column transform ran ~9x slower
+        # than 8 sequential 2^22 transforms — every slab spilled).
+        # Index-free operands (diag/post_const) apply OUTSIDE the map as
+        # one full-array pass (diag cannot ride the map: it has no batch
+        # axis, and tiling it would materialize batch copies).
+        n_len = lo.shape[-2] if not transpose_in else lo.shape[-1]
+
+        def to_slabs_b(a):
+            if transpose_in:
+                a = a.reshape(bsz, nslab, _SLAB, n_len)
+                return a.reshape(bsz * nslab, _SLAB, n_len)
+            a = a.reshape(bsz, n_len, nslab, _SLAB)
+            a = jnp.transpose(a, (0, 2, 1, 3))
+            return a.reshape(bsz * nslab, n_len, _SLAB)
+
+        def from_slabs_b(a):
+            a = a.reshape(bsz, nslab, n_len, _SLAB)
+            a = jnp.transpose(a, (0, 2, 1, 3))
+            return a.reshape(batch + (n_len, w))
+
+        def body_b(args):
+            slo, shi = args
+            if transpose_in:
+                slo = jnp.swapaxes(slo, -1, -2)
+                shi = jnp.swapaxes(shi, -1, -2)
+            return core((slo, shi), log_len, inverse)
+
+        olo, ohi = jax.lax.map(body_b, (to_slabs_b(lo), to_slabs_b(hi)))
+        return finish((from_slabs_b(olo), from_slabs_b(ohi)))
 
     def to_slabs(a):
         if transpose_in:

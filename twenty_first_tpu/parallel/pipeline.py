@@ -34,8 +34,22 @@ from . import dist_ntt
 from . import dist_merkle
 
 
+def lde_commit_diags(n: int, expansion: int = 4):
+    """Four-step diagonal device tables for trace_lde_commit at trace
+    length n: (inv_diag_pair_or_None, fwd_diag_pair_or_None). Fetch this
+    OUTSIDE jit and thread the arrays through as arguments — captured
+    diagonals are compile payload (32 MB at 2^22)."""
+    inv_d = fwd_d = None
+    if n.bit_length() - 1 >= ntt_mod.FOUR_STEP_THRESHOLD_LOG2:
+        inv_d = ntt_mod._four_step_diag_device(n.bit_length() - 1, True)
+    big = n * expansion
+    if big.bit_length() - 1 >= ntt_mod.FOUR_STEP_THRESHOLD_LOG2:
+        fwd_d = ntt_mod._four_step_diag_device(big.bit_length() - 1, False)
+    return inv_d, fwd_d
+
+
 def trace_lde_commit(trace, expansion: int = 4,
-                     offset: int | None = None):
+                     offset: int | None = None, ntt_diags=None):
     """Single-chip STARK trace commitment (BASELINE config 4 shape).
 
     trace: limb planes (W, n) — W <= 10 trace columns given as evaluations
@@ -47,6 +61,11 @@ def trace_lde_commit(trace, expansion: int = 4,
          (fixed-length domain, like the reference's hash_10);
       4. reduce the leafs to a Merkle root.
     Returns (1, 5) limb planes holding the root digest.
+
+    ntt_diags: pass lde_commit_diags(n, expansion) (threaded through the
+    caller's jit as arguments) so the two transforms run the slab-mapped
+    four-step above the threshold; without it they fall back to the plain
+    last-axis core (measured ~9x slower at (8, 2^22)).
     """
     from ..math.b_field_element import GENERATOR
     from ..tip5.constants import STATE_SIZE
@@ -59,8 +78,10 @@ def trace_lde_commit(trace, expansion: int = 4,
     big_n = n * expansion
     assert expansion & (expansion - 1) == 0
     offset = GENERATOR if offset is None else offset
+    inv_diag, fwd_diag = ntt_diags if ntt_diags is not None else (None, None)
     # 1. interpolate columns
-    coeff = ntt_mod.ntt_limbs_traceable((lo, hi), inverse=True)
+    coeff = ntt_mod.ntt_limbs_traceable((lo, hi), inverse=True,
+                                        four_step_diag=inv_diag)
     # 2. scale by offset powers and zero-pad to the extended domain
     from ..math import gf_numpy as gfn
 
@@ -70,7 +91,8 @@ def trace_lde_commit(trace, expansion: int = 4,
     scaled = gf.mul(coeff, (pw_lo[None, :], pw_hi[None, :]))
     pad = ((0, 0), (0, big_n - n))
     padded = (jnp.pad(scaled[0], pad), jnp.pad(scaled[1], pad))
-    evals = ntt_mod.ntt_limbs_traceable(padded)  # (W, big_n)
+    evals = ntt_mod.ntt_limbs_traceable(padded,
+                                        four_step_diag=fwd_diag)  # (W, big_n)
     # 3. leaf digests: fixed-length hash of each row (one permutation each)
     rows_lo = jnp.transpose(evals[0])  # (big_n, W)
     rows_hi = jnp.transpose(evals[1])
