@@ -9,5 +9,6 @@ from .constants import (  # noqa: F401
     STATE_SIZE,
 )
 from .digest import Digest  # noqa: F401
+from .inverse import InverseTip5  # noqa: F401
 from .tip5 import Tip5  # noqa: F401
 from . import permutation  # noqa: F401
