@@ -1649,7 +1649,6 @@ class Polynomial:
         else:
             coeffs = ntt_mod.ntt_values(vals, inverse=True)
         s = _scalar_value(offset)
-        inv = _scalar_pow(s, 0, False)  # placeholder
         if _is_x_scalar(s):
             inv_obj = _obj(s, True).inverse()
         else:
