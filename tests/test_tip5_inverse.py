@@ -20,7 +20,7 @@ from twenty_first_tpu.tip5.inverse import (
     INV_POWER_MAP_EXPONENT,
     InverseTip5,
 )
-from twenty_first_tpu.tip5.tip5 import Tip5, _round_values
+from twenty_first_tpu.tip5.tip5 import Tip5, _round_values, _sbox_values
 
 _rng = random.Random(0x7195)
 
@@ -71,29 +71,11 @@ def test_inv_mds_is_matrix_inverse():
     assert conv == [1] + [0] * (STATE_SIZE - 1)
 
 
-def _forward_sbox(state):
-    # The sbox half of _round_values, isolated: LUT on the first 4
-    # (Montgomery bytes), x^7 on the rest (tip5.py:_round_values).
-    out = list(state)
-    from twenty_first_tpu.math.b_field_element import R, R_INV
-    from twenty_first_tpu.tip5.constants import NUM_SPLIT_AND_LOOKUP
-
-    for i in range(NUM_SPLIT_AND_LOOKUP):
-        m = (out[i] * R) % P
-        word = 0
-        for byte in range(8):
-            word |= int(LOOKUP_TABLE[(m >> (8 * byte)) & 0xFF]) << (8 * byte)
-        out[i] = (word * R_INV) % P
-    for i in range(NUM_SPLIT_AND_LOOKUP, STATE_SIZE):
-        out[i] = pow(out[i], 7, P)
-    return out
-
-
 def test_inv_sbox_layer_roundtrip():
-    # inverse.rs:143-151
+    # inverse.rs:143-151; forward layer is the production _sbox_values
     for _ in range(8):
         orig = _random_state()
-        inv = InverseTip5(_forward_sbox(orig))
+        inv = InverseTip5(_sbox_values(orig))
         inv.inv_sbox_layer()
         assert [e.value() for e in inv.state] == orig
 

@@ -208,8 +208,10 @@ class Tip5(Sponge):
         return self.state[0].value()
 
 
-def _round_values(state: list[int], r: int) -> list[int]:
-    """One round on canonical values (helper for trace)."""
+def _sbox_values(state: list[int]) -> list[int]:
+    """The S-box layer on canonical values: byte LUT on raw Montgomery
+    bytes for the first 4 words (tip5/mod.rs:197-207), x^7 for the rest
+    (tip5/mod.rs:184-194)."""
     state = list(state)
     for i in range(NUM_SPLIT_AND_LOOKUP):
         m = (state[i] * R) % P
@@ -219,6 +221,12 @@ def _round_values(state: list[int], r: int) -> list[int]:
         state[i] = (out * R_INV) % P
     for i in range(NUM_SPLIT_AND_LOOKUP, STATE_SIZE):
         state[i] = pow(state[i], 7, P)
+    return state
+
+
+def _round_values(state: list[int], r: int) -> list[int]:
+    """One round on canonical values (helper for trace)."""
+    state = _sbox_values(state)
     state = [
         sum(_COL[(i - j) % STATE_SIZE] * state[j] for j in range(STATE_SIZE)) % P
         for i in range(STATE_SIZE)
