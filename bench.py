@@ -26,6 +26,18 @@ Every protocol row that cannot run inside the time budget is emitted as
 "dropped:budget" instead of silently vanishing. A persistent XLA
 compilation cache (.jax_cache) makes repeat runs skip compilation.
 
+Two profiles (round-3 lesson: the full protocol takes ~3000 s warm and
+overflowed the driver's 480 s budget AND its stdout tail-capture window,
+leaving the official artifact unparseable):
+  * driver profile (default): the headline + ~10 key rows, sized to
+    finish well inside BENCH_BUDGET_S=480 warm. Everything else is
+    recorded as "skipped:driver-profile" in the file artifact.
+  * BENCH_FULL=1: the complete criterion-protocol mirror.
+In BOTH profiles stdout carries ONE SMALL JSON line (<= 2048 bytes,
+asserted) with only the whitelisted key rows; the complete extras dict is
+written to BENCH_full.json (full profile) / BENCH_driver.json (driver
+profile) next to this script.
+
 The reference publishes no absolute numbers (BASELINE.md), so vs_baseline
 is 1.0 against the empty published set.
 """
@@ -47,9 +59,32 @@ def _p(msg):
           flush=True)
 
 
+# stdout whitelist: the key rows the driver's tail capture must always
+# contain, most-important-last-dropped first. Everything else lives only
+# in the file artifact.
+_STDOUT_ROWS = (
+    "ntt_2^24_s",
+    "tip5_permutations_per_s",
+    "merkle_2^20_commit_s",
+    "lde_commit_2^22_rows_w8_s",
+    "merkle_2^16_commit_s",
+    "tip5_hash_varlen_16386_s",
+    "xfe_ntt_2^18_s",
+    "poly_multiply_deg_2^14_s",
+    "pallas_hw_bit_exact",
+    "claim_wait_s",
+    "device",
+    "profile",
+    "elapsed_s",
+)
+
+_STDOUT_LIMIT = 2048
+
+
 def main():
     t_start = time.time()
     budget = float(os.environ.get("BENCH_BUDGET_S", "480"))
+    full = os.environ.get("BENCH_FULL", "0") == "1"
 
     import jax
     import jax.numpy as jnp
@@ -90,8 +125,13 @@ def main():
     _p("device init start")
     rng = np.random.default_rng(0)
     p = (1 << 64) - (1 << 32) + 1
+    import jaxlib
+
     extras = {
         "device": str(jax.devices()[0]),
+        "profile": "full" if full else "driver",
+        "versions": {"jax": jax.__version__,
+                     "jaxlib": getattr(jaxlib, "__version__", "?")},
         "methodology": ("device rows: interleaved k-chain, median of "
                         "per-round differences; host rows: min wall-clock"),
     }
@@ -108,6 +148,7 @@ def main():
     _init_done.set()
     _p("device init done")
     dropped = []
+    skipped_profile = []
 
     def remaining():
         return budget - (time.time() - t_start)
@@ -122,6 +163,16 @@ def main():
         dropped.extend(names)
         return False
 
+    def full_block(names, need):
+        """Row(s) in the full protocol only: under the driver profile they
+        are recorded as skipped:driver-profile in the file artifact."""
+        if full:
+            return block(names, need)
+        if isinstance(names, str):
+            names = [names]
+        skipped_profile.extend(names)
+        return False
+
     def timed_chain(fn, args, k_lo, k_hi, reps=3):
         """Median over reps of (t(k_hi)-t(k_lo))/(k_hi-k_lo), interleaved.
 
@@ -129,10 +180,17 @@ def main():
         making the difference go negative; in that case widen the k spread
         (more device work per call, same constant overhead) and retry, and
         as a last resort report median(t_hi)/k_hi — an upper bound, never
-        a negative artifact."""
+        a negative artifact.
+
+        ALL chain lengths this function can ever run (including the
+        widened retry) are compiled upfront: whether the widen path
+        triggers is noise-dependent, and a run-time cold compile of a
+        chained graph costs minutes — the round-3 driver overflow. With
+        the upfront compiles every possible path is warm from the
+        persistent cache on the second-ever run."""
+        k_wide = k_lo + 4 * (k_hi - k_lo)
+
         def measure(k_lo, k_hi, reps):
-            for k in (k_lo, k_hi):  # compile both variants
-                int(fn(*args, k=k))
             diffs, highs = [], []
             for _ in range(reps):
                 t0 = time.perf_counter()
@@ -146,11 +204,13 @@ def main():
             diffs.sort()
             highs.sort()
             return diffs[len(diffs) // 2], highs[len(highs) // 2]
+
+        for k in (k_lo, k_hi, k_wide):  # compile every reachable variant
+            int(fn(*args, k=k))
         est, t_hi = measure(k_lo, k_hi, reps)
         if est <= 0 and remaining() > 60:
-            k_hi2 = k_lo + 4 * (k_hi - k_lo)
-            est, t_hi = measure(k_lo, k_hi2, reps)
-            k_hi = k_hi2
+            est, t_hi = measure(k_lo, k_wide, reps)
+            k_hi = k_wide
         if est <= 0:
             est = t_hi / k_hi
         return est
@@ -182,8 +242,11 @@ def main():
         return jnp.sum(o[0], dtype=jnp.uint32) + jnp.sum(o[1], dtype=jnp.uint32)
 
     _p("headline ntt start")
+    # reps=6: round-3's driver artifact showed 18.5 ms where the builder's
+    # longer runs settle at ~9.8 ms — the first interleaved rounds after a
+    # fresh claim run slow; more rounds let the median reach steady state.
     t_ntt = timed_chain(ntt_chain, (lo, hi, diag[0], diag[1]), 1, 3,
-                        reps=4)
+                        reps=6)
     ntt_elems_per_s = n / t_ntt
     extras[f"ntt_2^{log_n}_s"] = t_ntt
 
@@ -227,7 +290,7 @@ def main():
         extras["xfe_ntt_2^18_s"] = t_xntt
 
     # --- device batch inversion 2^20 (benches/inverses.rs) ------------------
-    if block("batch_inversion_2^20_s", 50):
+    if full_block("batch_inversion_2^20_s", 50):
         inv_vals = rng.integers(1, p, size=1 << 20, dtype=np.uint64)
         ilo, ihi = (jax.device_put(v) for v in gf.to_limbs(inv_vals))
 
@@ -245,8 +308,8 @@ def main():
 
     # --- device muls 2^20: bfe*bfe / xfe*xfe / xfe*bfe ----------------------
     # (benches/various_muls.rs)
-    if block(["bfe_mul_2^20_per_s", "xfe_mul_2^20_per_s",
-              "xfe_bfe_mul_2^20_per_s"], 60):
+    if full_block(["bfe_mul_2^20_per_s", "xfe_mul_2^20_per_s",
+                   "xfe_bfe_mul_2^20_per_s"], 60):
         from twenty_first_tpu.math import gf_ext
 
         ba = rng.integers(0, p, size=1 << 20, dtype=np.uint64)
@@ -383,7 +446,7 @@ def main():
     # --- host object API: new / frugal_root (the reference's 4 bench
     #     groups; par_* == sequential_* here — the native layer hashing is
     #     OpenMP-parallel, the device path is lane-parallel) ---------------
-    if block(["merkle_new_2^16_s", "merkle_root_frugal_2^16_s"], 40):
+    if full_block(["merkle_new_2^16_s", "merkle_root_frugal_2^16_s"], 40):
         from twenty_first_tpu.util_types.merkle_tree import MerkleTree
 
         leafs16 = rng.integers(0, p, size=(1 << 16, 5), dtype=np.uint64)
@@ -393,7 +456,7 @@ def main():
         extras["merkle_root_frugal_2^16_s"] = timed_host(
             lambda: MerkleTree.frugal_root(leafs16), reps=2)
 
-    if block(["merkle_new_2^20_s", "merkle_root_frugal_2^20_s"], 40):
+    if full_block(["merkle_new_2^20_s", "merkle_root_frugal_2^20_s"], 40):
         from twenty_first_tpu.util_types.merkle_tree import MerkleTree
 
         leafs20 = rng.integers(0, p, size=(1 << 20, 5), dtype=np.uint64)
@@ -404,7 +467,7 @@ def main():
             lambda: MerkleTree.frugal_root(leafs20), reps=1)
 
     # --- Merkle auth-structure open + verify (host path) -------------------
-    if block("merkle_2^10_auth_open_verify_s", 30):
+    if full_block("merkle_2^10_auth_open_verify_s", 30):
         from twenty_first_tpu.util_types.merkle_tree import MerkleTree
 
         leafs_o = rng.integers(0, p, size=(1 << 10, 5), dtype=np.uint64)
@@ -419,7 +482,7 @@ def main():
         extras["merkle_2^10_auth_open_verify_s"] = timed_host(open_and_verify)
 
     # --- Merkle auth-structure size (benches/..._auth_structure_size.rs) ---
-    if block("merkle_2^12_auth_structure_digests_32idx", 25):
+    if full_block("merkle_2^12_auth_structure_digests_32idx", 25):
         from twenty_first_tpu.util_types.merkle_tree import MerkleTree
 
         leafs_a = rng.integers(0, p, size=(1 << 12, 5), dtype=np.uint64)
@@ -432,21 +495,27 @@ def main():
     # ======================================================================
     # polynomial suite (host object API over vectorized arrays)
     # ======================================================================
-    if block(["poly_multiply_deg_2^14_s", "poly_interpolate_2^9_s",
-              "poly_batch_evaluate_2^12_on_2^9_s", "poly_zerofier_2^9_s",
-              "poly_clean_divide_2^12_s"], 60):
+    # multiply is the driver profile's representative poly row; the rest
+    # of the suite is full-profile
+    if block("poly_multiply_deg_2^14_s", 25):
         from twenty_first_tpu.math.polynomial import Polynomial
-        from twenty_first_tpu.math.b_field_element import bfe
 
         deg = (1 << 14) - 1
         pa = Polynomial.from_array(
             rng.integers(0, p, size=deg + 1, dtype=np.uint64))
         pb = Polynomial.from_array(
             rng.integers(0, p, size=deg + 1, dtype=np.uint64))
-        _p("poly suite start")
+        _p("poly multiply start")
         extras["poly_multiply_deg_2^14_s"] = timed_host(
             lambda: pa.fast_multiply(pb))
 
+    if full_block(["poly_interpolate_2^9_s",
+                   "poly_batch_evaluate_2^12_on_2^9_s", "poly_zerofier_2^9_s",
+                   "poly_clean_divide_2^12_s"], 45):
+        from twenty_first_tpu.math.polynomial import Polynomial
+        from twenty_first_tpu.math.b_field_element import bfe
+
+        _p("poly suite start")
         dom = rng.integers(1, p, size=1 << 10, dtype=np.uint64)
         dom = np.unique(dom)[: 1 << 9]
         vals = rng.integers(0, p, size=dom.shape[0], dtype=np.uint64)
@@ -467,8 +536,8 @@ def main():
             lambda: product.clean_divide(divisor), reps=2)
 
     # --- coset extrapolation (polynomial.rs:2117-2331) ----------------------
-    if block(["device_coset_extrapolate_2^18_to_2^10_s",
-              "poly_coset_extrapolate_dispatch_2^18_to_2^10_s"], 60):
+    if full_block(["device_coset_extrapolate_2^18_to_2^10_s",
+                   "poly_coset_extrapolate_dispatch_2^18_to_2^10_s"], 60):
         from twenty_first_tpu.math.polynomial import Polynomial
         from twenty_first_tpu.math.b_field_element import bfe
 
@@ -494,10 +563,10 @@ def main():
             reps=1)
 
     # --- poly scale / scalar-mul / fps inverse / mod-reduce / coset --------
-    if block(["poly_scale_2^14_s", "poly_scalar_mul_2^14_s",
-              "poly_fps_inverse_2^10_s", "poly_mod_reduce_2^14_by_2^9_s",
-              "poly_fast_coset_evaluate_2^16_s",
-              "poly_fast_coset_interpolate_2^16_s"], 45):
+    if full_block(["poly_scale_2^14_s", "poly_scalar_mul_2^14_s",
+                   "poly_fps_inverse_2^10_s", "poly_mod_reduce_2^14_by_2^9_s",
+                   "poly_fast_coset_evaluate_2^16_s",
+                   "poly_fast_coset_interpolate_2^16_s"], 45):
         from twenty_first_tpu.math.polynomial import Polynomial
         from twenty_first_tpu.math.b_field_element import bfe
 
@@ -527,7 +596,7 @@ def main():
             lambda: Polynomial.fast_coset_interpolate(bfe(7), cw16), reps=2)
 
     # --- NTT table precompute (benches/ntt.rs:33-46) ------------------------
-    if block("ntt_table_precompute_2^20_s", 25):
+    if full_block("ntt_table_precompute_2^20_s", 25):
         _p("ntt precompute start")
 
         def precompute_2_20():
@@ -540,7 +609,7 @@ def main():
                                                            reps=2)
 
     # --- lattice KEM roundtrip ---------------------------------------------
-    if block("kem_roundtrip_s", 25):
+    if full_block("kem_roundtrip_s", 25):
         from twenty_first_tpu.math import lattice
 
         seed = bytes(rng.integers(0, 256, size=32, dtype=np.uint8))
@@ -554,7 +623,7 @@ def main():
         extras["kem_roundtrip_s"] = timed_host(kem_roundtrip)
 
     # --- codec roundtrip -----------------------------------------------------
-    if block("codec_roundtrip_2^10_s", 15):
+    if full_block("codec_roundtrip_2^10_s", 15):
         from twenty_first_tpu.math.bfield_codec import BFE, Vec_, encode
         from twenty_first_tpu.math.b_field_element import bfe
 
@@ -589,7 +658,20 @@ def main():
                 extras["pallas_hw_bit_exact"] = bool(
                     np.array_equal(got, want))
         except Exception as e:  # Mosaic availability varies by backend
-            extras["pallas_hw_bit_exact"] = f"error:{type(e).__name__}"
+            # The axon tunnel's compile service rejects Mosaic AOT
+            # requests (HTTP 500/UNIMPLEMENTED); that is a documented
+            # environment limitation, not a kernel bug — report it as a
+            # structured skip so the artifact stays auditable, and keep
+            # the first line of the underlying error for forensics.
+            msg = f"{type(e).__name__}: {e}".splitlines()[0]
+            lowered = msg.lower()
+            if any(tok in lowered for tok in
+                   ("mosaic", "custom_call", "unimplemented", "500",
+                    "tpu_custom_call", "not supported")):
+                extras["pallas_hw_bit_exact"] = "skipped:mosaic-aot-tunnel"
+            else:
+                extras["pallas_hw_bit_exact"] = f"error:{type(e).__name__}"
+            extras["pallas_hw_detail"] = msg[:300]
 
     # ======================================================================
     # orderless-convolution delta (DESIGN.md §5 DIF row): full NTT round
@@ -599,7 +681,7 @@ def main():
     # major-axis kind), so production conv uses natural order; these rows
     # keep the comparison pinned in every artifact.
     # ======================================================================
-    if block(["ntt_conv_2^22_natural_s", "ntt_conv_2^22_scrambled_s"], 60):
+    if full_block(["ntt_conv_2^22_natural_s", "ntt_conv_2^22_scrambled_s"], 60):
         clog = 22
         ca = rng.integers(0, p, size=1 << clog, dtype=np.uint64)
         cb = rng.integers(0, p, size=1 << clog, dtype=np.uint64)
@@ -694,16 +776,54 @@ def main():
     for name in dropped:
         if name and name not in extras:
             extras[name] = "dropped:budget"
+    for name in skipped_profile:
+        if name and name not in extras:
+            extras[name] = "skipped:driver-profile"
 
-    _p("done; emitting")
-    result = {
+    elapsed = time.time() - t_start
+    extras["elapsed_s"] = round(elapsed, 1)
+    extras["budget_s"] = budget
+
+    # Complete extras -> file artifact (the stdout line must stay small).
+    here = os.path.dirname(os.path.abspath(__file__))
+    artifact = "BENCH_full.json" if full else "BENCH_driver.json"
+    full_result = {
         "metric": f"ntt_2^{log_n}_goldilocks_elems_per_s_per_chip",
         "value": ntt_elems_per_s,
         "unit": "elements/s",
         "vs_baseline": 1.0,
         "extras": extras,
     }
-    print(json.dumps(result))
+    try:
+        with open(os.path.join(here, artifact), "w") as f:
+            json.dump(full_result, f, indent=1)
+            f.write("\n")
+        _p(f"full extras written to {artifact}")
+    except OSError as e:
+        _p(f"could not write {artifact}: {e}")
+
+    # Small stdout line: whitelisted key rows only, trimmed (least
+    # important first) until it fits the driver's tail-capture window.
+    stdout_rows = (f"ntt_2^{log_n}_s",) + _STDOUT_ROWS[1:] \
+        if log_n != 24 else _STDOUT_ROWS
+    small_extras = {k: extras[k] for k in stdout_rows if k in extras}
+    small_extras["full_extras_file"] = artifact
+    result = dict(full_result, extras=small_extras)
+    line = json.dumps(result)
+    for k in reversed(stdout_rows):
+        if len(line) <= _STDOUT_LIMIT:
+            break
+        small_extras.pop(k, None)
+        line = json.dumps(result)
+    assert len(line) <= _STDOUT_LIMIT, (
+        f"stdout line {len(line)} B exceeds the {_STDOUT_LIMIT} B "
+        f"tail-capture guarantee even after trimming")
+    billed = elapsed - (claim_s if claim_s > 30 else 0.0)
+    if not full and billed > float(os.environ.get("BENCH_BUDGET_S", "480")):
+        _p(f"WARNING: billed time {billed:.0f}s exceeded the driver "
+           f"budget — tighten the driver profile")
+    _p(f"done; emitting {len(line)} B")
+    print(line)
 
 
 if __name__ == "__main__":

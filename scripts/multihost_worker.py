@@ -10,8 +10,14 @@ exactly what a TPU pod run needs, minus the ICI.
 Checks, per process:
   * distributed NTT local output shards are bit-exact vs the host oracle;
   * the distributed LDE+commit root matches a single-process local-mesh
-    run (process 0 only).
-Process 0 writes MULTIHOST_r02.json.
+    run (process 0 only);
+  * distributed MMR peaks-from-leafs + batch-append are bit-exact vs the
+    host accumulator oracle (BASELINE config-5 MMR leg);
+  * a cross-process lattice-KEM exchange: process 0's keygen, public key
+    broadcast over the distributed runtime, per-process encapsulation,
+    ciphertext gather, process-0 decapsulation of every ciphertext
+    (BASELINE config-5 KEM leg).
+Process 0 writes the MULTIHOST artifact.
 """
 
 import json
@@ -85,6 +91,67 @@ root = (np.asarray(rlo.addressable_data(0), dtype=np.uint64)
 root = [int(v) for v in root.reshape(-1)[:5]]
 print(f"[{PID}] dist LDE+commit root: {root[:2]}...", flush=True)
 
+# -- distributed MMR peaks-from-leafs + batch-append (config-5 MMR leg) ----
+from twenty_first_tpu.parallel.dist_mmr import (
+    distributed_batch_append, distributed_peaks_from_leafs)
+from twenty_first_tpu.util_types.mmr.mmr_accumulator import MmrAccumulator
+
+mmr_log = min(LOG_N - 4, 18)
+n_mmr = (1 << mmr_log) + (1 << max(mmr_log - 3, 1)) + 3  # >= 3 peaks
+mmr_leafs = rng.integers(0, P, size=(n_mmr, 5), dtype=np.uint64)
+t0 = time.perf_counter()
+got_peaks = distributed_peaks_from_leafs(mmr_leafs, mesh)
+t_mmr = time.perf_counter() - t0
+want_peaks = MmrAccumulator.peaks_from_leafs(mmr_leafs)
+assert got_peaks == want_peaks, f"[{PID}] MMR peaks mismatch"
+
+m_append = (1 << max(mmr_log - 2, 1)) + 11
+batch = rng.integers(0, P, size=(m_append, 5), dtype=np.uint64)
+new_peaks, new_count = distributed_batch_append(
+    got_peaks, n_mmr, batch, mesh)
+want_after = MmrAccumulator.peaks_from_leafs(
+    np.concatenate([mmr_leafs, batch]))
+assert new_count == n_mmr + m_append
+assert new_peaks == want_after, f"[{PID}] MMR batch-append mismatch"
+print(f"[{PID}] dist MMR: peaks({n_mmr} leafs) + batch-append({m_append}) "
+      f"bit-exact ({t_mmr*1e3:.1f} ms peaks first run)", flush=True)
+
+# -- cross-process lattice-KEM exchange (config-5 KEM leg) -------------------
+import hashlib
+
+from jax.experimental import multihost_utils
+
+from twenty_first_tpu.math import lattice
+
+kem_seed = np.frombuffer(hashlib.sha3_256(b"multihost-kem-keygen").digest(),
+                         dtype=np.uint8)
+if PID == 0:
+    sk, pk = lattice.keygen(bytes(kem_seed))
+    pk_arr = np.frombuffer(pk.to_bytes(), dtype=np.uint8)
+else:
+    sk = None
+    # all processes know the wire size (seed 32 B + ga module element)
+    _, _pk_tmp = lattice.keygen(bytes(kem_seed))
+    pk_arr = np.zeros(len(_pk_tmp.to_bytes()), dtype=np.uint8)
+pk_arr = np.asarray(multihost_utils.broadcast_one_to_all(pk_arr))
+pk_recv = lattice.PublicKey.from_bytes(pk_arr.tobytes())
+
+enc_rand = hashlib.sha3_256(f"multihost-kem-enc-{PID}".encode()).digest()
+shared, ct = lattice.enc(pk_recv, enc_rand)
+ct_arr = np.frombuffer(ct.to_bytes(), dtype=np.uint8)
+all_cts = np.asarray(multihost_utils.process_allgather(ct_arr))
+shared_fp = np.frombuffer(hashlib.sha3_256(shared).digest(), dtype=np.uint8)
+all_fps = np.asarray(multihost_utils.process_allgather(shared_fp))
+kem_ok = True
+if PID == 0:
+    for i in range(NPROC):
+        ct_i = lattice.Ciphertext.from_bytes(all_cts[i].tobytes())
+        dec_i = lattice.dec(sk, ct_i)
+        fp_i = np.frombuffer(hashlib.sha3_256(dec_i).digest(), dtype=np.uint8)
+        assert dec_i is not None and np.array_equal(fp_i, all_fps[i]), \
+            f"KEM decapsulation mismatch for process {i}"
+print(f"[{PID}] cross-process KEM exchange ok", flush=True)
+
 if PID == 0:
     # single-process comparison on a local-devices-only mesh
     local_mesh = make_mesh(devices=jax.local_devices())
@@ -109,6 +176,12 @@ if PID == 0:
                 "collectives": "gloo (CPU multi-controller)",
                 "ntt_bit_exact_vs_host_oracle": True,
                 "lde_commit_root_matches_single_process": True,
+                "mmr_peaks_bit_exact": True,
+                "mmr_batch_append_bit_exact": True,
+                "mmr_leafs": int(n_mmr),
+                "mmr_batch_appended": int(m_append),
+                "kem_roundtrip_ok": bool(kem_ok),
+                "kem_processes": NPROC,
                 "root_digest": root,
                 "note": ("Validates the jax.distributed multi-host seam "
                          "(cross-process all_to_all/all_gather, process-"

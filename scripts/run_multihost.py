@@ -15,7 +15,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 if __name__ == "__main__":
     nproc = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     log_n = sys.argv[2] if len(sys.argv) > 2 else "16"
-    out = sys.argv[3] if len(sys.argv) > 3 else "MULTIHOST_r02.json"
+    out = sys.argv[3] if len(sys.argv) > 3 else "MULTIHOST_r04.json"
     port = "19851"
     procs = [
         subprocess.Popen(
