@@ -7,7 +7,15 @@ the XLA-fused production kernels, measured on TPU v5e, and found SLOWER
 
   * `tip5_pallas` — narrow (B, 16) and lane-dense (8 states/row) Pallas Tip5
     permutations (3.9M / 29M perms/s vs ~24M for the XLA path's interleaved
-    median, which also wins on fusion with neighboring ops).
+    median). The lane-dense kernel WINS standalone (+20%); it is not
+    promoted because the library's hot Tip5 sites are fused pipelines
+    (Merkle layers, LDE leaf hashing) where its (8,16)-packed layout needs
+    boundary transposes into every neighbor. That fused A/B (the decision
+    rule: promote iff it wins inside a 2^20 Merkle commit) could NOT be
+    measured: this environment's tunnel rejects all Mosaic AOT compiles
+    (HTTP 500, reported as "skipped:mosaic-aot-tunnel" by bench.py every
+    run), so the standalone numbers predate the tunnel regression and the
+    fused A/B is recorded as BLOCKED, not decided — see DESIGN.md §5.
   * `tip5_mxu` — exact bf16 block-circulant MDS matmuls on the MXU
     (24M perms/s; the u32<->bf16 boundaries cost more HBM traffic than the
     saved VPU ops).
