@@ -894,15 +894,17 @@ def _four_step_split(log_n: int) -> tuple[int, int]:
 
 
 @functools.lru_cache(maxsize=None)
-def _four_step_diag_host(log_n: int, inverse: bool, dif: bool = False
+def _four_step_diag_host(log_n: int, inverse: bool, dif: bool = False,
+                         split: tuple[int, int] | None = None,
                          ) -> tuple[np.ndarray, np.ndarray]:
     """Diagonal twiddles w^(j1*k2) as an (n2, n1) uint32 limb pair.
 
     With ``dif`` the rows are bit-reverse permuted to match the DIF first
-    pass, whose physical row r holds k2 = bitrev(r)."""
+    pass, whose physical row r holds k2 = bitrev(r). ``split`` overrides
+    the default square (log_n1, log_n2) factorization."""
     from . import gf_numpy as gfn
 
-    log_n1, log_n2 = _four_step_split(log_n)
+    log_n1, log_n2 = split if split is not None else _four_step_split(log_n)
     n1, n2 = 1 << log_n1, 1 << log_n2
     root = PRIMITIVE_ROOTS[1 << log_n]
     if inverse:
@@ -1023,9 +1025,16 @@ def _local_pass(x, log_len: int, inverse: bool, diag=None, post_const=None,
         a = jnp.moveaxis(a, 0, -2)
         return a.reshape(a.shape[:-2] + (w,))
 
+    def to_slabs_out(a):
+        # diag contract: given in the pass's OUTPUT layout (n, w), slabbed
+        # over the lane axis regardless of transpose_in (whose reshape is
+        # for the differently-shaped input)
+        a = a.reshape(a.shape[:-1] + (nslab, _SLAB))
+        return jnp.moveaxis(a, -2, 0)
+
     operands = [to_slabs(lo), to_slabs(hi)]
     if diag is not None:
-        operands += [to_slabs(diag[0]), to_slabs(diag[1])]
+        operands += [to_slabs_out(diag[0]), to_slabs_out(diag[1])]
 
     def body(args):
         slo, shi = args[0], args[1]
@@ -1298,6 +1307,85 @@ def four_step_ntt_scrambled(x, log_n: int, inverse: bool, diag):
         n_inv = pow(1 << log_n, P - 2, P)
         z = _local_pass(w, log_n2, True, post_const=n_inv,
                         transpose_in=True, norev=True)
+    return (z[0].reshape(batch + (n1 * n2,)),
+            z[1].reshape(batch + (n1 * n2,)))
+
+
+# -- split-generalized scrambled entries --------------------------------------
+#
+# The scrambled-interior LDE experiment (DESIGN.md §15, round-3 verdict
+# item #4) needs the DIF/norev four-step passes with (a) the twiddle
+# direction decoupled from the order direction (an iNTT whose output stays
+# scrambled), (b) an explicit non-square split, and (c) elementwise
+# multiplies fused into the second pass. Key identity: choosing the big
+# transform's split as (log_n1 + log_expansion, log_n2) makes zero-padding
+# in scrambled order a pure reshape+pad row interleave —
+#     brev_{L1+e}(r1 * 2^e) = brev_{L1}(r1), and padding occupies exactly
+#     the rows r1' with nonzero low e bits —
+# so the whole interpolate→extend→evaluate chain runs with ZERO gathers.
+
+
+@functools.lru_cache(maxsize=None)
+def _diag_device_general(log_n: int, inverse: bool, dif: bool,
+                         split: tuple[int, int]):
+    lo, hi = _four_step_diag_host(log_n, inverse, dif, split)
+    return jnp.asarray(lo), jnp.asarray(hi)
+
+
+@functools.lru_cache(maxsize=None)
+def _norev_diag_host(log_n: int, inverse: bool, split: tuple[int, int]):
+    """Diagonal for the gatherless-DIT (norev) first pass at an explicit
+    split: (n1, n2) table, value[j1, r2] = root^(±j1 * brev_{log_n2}(r2))
+    — the transpose of the dif-permuted (n2, n1) table."""
+    lo, hi = _four_step_diag_host(log_n, inverse, dif=True, split=split)
+    return np.ascontiguousarray(lo.T), np.ascontiguousarray(hi.T)
+
+
+@functools.lru_cache(maxsize=None)
+def _norev_diag_device(log_n: int, inverse: bool, split: tuple[int, int]):
+    lo, hi = _norev_diag_host(log_n, inverse, split)
+    return jnp.asarray(lo), jnp.asarray(hi)
+
+
+def four_step_dif_general(x, log_n: int, inverse: bool, diag,
+                          split=None, post_diag=None, post_const=None):
+    """Natural-order (..., n) input -> scrambled output (matrix (n1, n2)
+    flattened, both axes bit-reversed: flat position r1*n2 + r2 holds
+    natural index brev(r2) + n2*brev(r1)).
+
+    ``inverse`` selects the TWIDDLE direction only (no 1/n scaling, no
+    reordering — fuse 1/n via post_const or post_diag). ``diag`` must be
+    _diag_device_general(log_n, inverse, dif=True, split). ``post_diag``
+    ((n1, n2) output-layout device pair) and ``post_const`` fuse
+    elementwise multiplies into the second pass."""
+    lo, hi = x
+    log_n1, log_n2 = split if split is not None else _four_step_split(log_n)
+    n1, n2 = 1 << log_n1, 1 << log_n2
+    batch = lo.shape[:-1]
+    lo = lo.reshape(batch + (n2, n1))
+    hi = hi.reshape(batch + (n2, n1))
+    y = _local_pass((lo, hi), log_n2, inverse, diag=diag, dif=True)
+    z = _local_pass(y, log_n1, inverse, diag=post_diag,
+                    post_const=post_const, transpose_in=True, dif=True)
+    return (z[0].reshape(batch + (n1 * n2,)),
+            z[1].reshape(batch + (n1 * n2,)))
+
+
+def four_step_norev_general(x, log_n: int, inverse: bool, diag,
+                            split=None, post_const=None):
+    """Scrambled (..., n) input (four_step_dif_general's layout at the
+    same split) -> NATURAL-order output; twiddle direction = ``inverse``;
+    ``diag`` = _norev_diag_device(log_n, inverse, split). NO gathers in
+    either pass."""
+    lo, hi = x
+    log_n1, log_n2 = split if split is not None else _four_step_split(log_n)
+    n1, n2 = 1 << log_n1, 1 << log_n2
+    batch = lo.shape[:-1]
+    lo = lo.reshape(batch + (n1, n2))
+    hi = hi.reshape(batch + (n1, n2))
+    w = _local_pass((lo, hi), log_n1, inverse, diag=diag, norev=True)
+    z = _local_pass(w, log_n2, inverse, post_const=post_const,
+                    transpose_in=True, norev=True)
     return (z[0].reshape(batch + (n1 * n2,)),
             z[1].reshape(batch + (n1 * n2,)))
 

@@ -93,7 +93,19 @@ def trace_lde_commit(trace, expansion: int = 4,
     padded = (jnp.pad(scaled[0], pad), jnp.pad(scaled[1], pad))
     evals = ntt_mod.ntt_limbs_traceable(padded,
                                         four_step_diag=fwd_diag)  # (W, big_n)
-    # 3. leaf digests: fixed-length hash of each row (one permutation each)
+    # 3 + 4. leaf digests + Merkle root
+    return _hash_rows_commit(evals, w, big_n)
+
+
+def _hash_rows_commit(evals, w: int, big_n: int):
+    """Shared pipeline tail: (W, big_n) evaluation planes -> (1, 5) root.
+
+    Each evaluation row is hashed fixed-length-domain in ONE Tip5
+    permutation (W <= RATE), then reduced layer-wise to the Merkle root."""
+    from ..tip5.constants import STATE_SIZE
+
+    import jax.numpy as jnp
+
     rows_lo = jnp.transpose(evals[0])  # (big_n, W)
     rows_hi = jnp.transpose(evals[1])
     state_lo = jnp.concatenate(
@@ -104,9 +116,81 @@ def trace_lde_commit(trace, expansion: int = 4,
         [rows_hi, jnp.zeros((big_n, STATE_SIZE - w), jnp.uint32)], axis=1)
     perm = tip5_dev.permutation((state_lo, state_hi))
     leafs = (perm[0][:, :5], perm[1][:, :5])
-    # 4. Merkle root
     log_rows = big_n.bit_length() - 1
     return dist_merkle._reduce_layers(leafs, log_rows)
+
+
+def lde_scrambled_tables(n: int, expansion: int = 4, offset: int | None = None):
+    """Device tables for trace_lde_commit_scrambled: (dif_inv_diag,
+    pw_scr, norev_fwd_diag) pairs. Fetch OUTSIDE jit, thread as args."""
+    from ..math import gf_numpy as gfn
+    from ..math.b_field_element import GENERATOR, P as FIELD_P
+
+    import jax.numpy as jnp
+
+    log_n = n.bit_length() - 1
+    log_e = expansion.bit_length() - 1
+    log_n1, log_n2 = ntt_mod._four_step_split(log_n)
+    n1, n2 = 1 << log_n1, 1 << log_n2
+    offset = GENERATOR if offset is None else offset
+    d1 = ntt_mod._diag_device_general(log_n, True, True, (log_n1, log_n2))
+    d4 = ntt_mod._norev_diag_device(log_n + log_e, False,
+                                    (log_n1 + log_e, log_n2))
+    # pw_scr[r1, r2] = offset^j / n with j = brev(r2) + n2*brev(r1): the
+    # offset-power scaling AND the iNTT's 1/n, in the scrambled layout,
+    # fused into the interpolation's second pass
+    pw = gfn.powers(offset, n)
+    n_inv = pow(n, FIELD_P - 2, FIELD_P)
+    b1 = ntt_mod._bit_reverse_permutation(log_n1).astype(np.int64)
+    b2 = ntt_mod._bit_reverse_permutation(log_n2).astype(np.int64)
+    jidx = (b2[None, :] + n2 * b1[:, None]).reshape(-1)
+    pw_scr = gfn.mul(pw[jidx], np.full(n, n_inv, dtype=np.uint64))
+    pw_scr = pw_scr.reshape(n1, n2)
+    pw_dev = (jnp.asarray((pw_scr & np.uint64(0xFFFF_FFFF)).astype(np.uint32)),
+              jnp.asarray((pw_scr >> np.uint64(32)).astype(np.uint32)))
+    return d1, pw_dev, d4
+
+
+def trace_lde_commit_scrambled(trace, expansion: int = 4, tables=None):
+    """trace_lde_commit with a scrambled (gather-free) transform interior.
+
+    Same result bit-for-bit (the final norev pass restores natural
+    evaluation order, so leaf order and root match trace_lde_commit);
+    different data movement (DESIGN.md §15):
+      1. DIF iNTT: natural -> scrambled coefficients, ZERO gathers, with
+         the offset-power scaling AND 1/n fused into its second pass
+         (saves the standalone gf.mul materialization);
+      2. zero-padding in scrambled order = reshape + pad row interleave
+         (brev_{L1+e}(r1 * 2^e) = brev_{L1}(r1)) — no gather, and the
+         extended transform's split is (log_n1+log_e, log_n2);
+      3. gatherless-DIT forward NTT: scrambled -> NATURAL evaluations,
+         ZERO gathers.
+    """
+    lo, hi = trace
+    w, n = lo.shape
+    assert w <= 10 and n & (n - 1) == 0
+    log_n = n.bit_length() - 1
+    log_e = expansion.bit_length() - 1
+    big_n = n * expansion
+    log_n1, log_n2 = ntt_mod._four_step_split(log_n)
+    n1, n2 = 1 << log_n1, 1 << log_n2
+    d1, pw_dev, d4 = tables if tables is not None else \
+        lde_scrambled_tables(n, expansion)
+
+    import jax.numpy as jnp
+
+    c_scr = ntt_mod.four_step_dif_general(
+        (lo, hi), log_n, True, d1, split=(log_n1, log_n2), post_diag=pw_dev)
+
+    def embed(a):
+        a = a.reshape(w, n1, 1, n2)
+        a = jnp.pad(a, ((0, 0), (0, 0), (0, expansion - 1), (0, 0)))
+        return a.reshape(w, big_n)
+
+    evals = ntt_mod.four_step_norev_general(
+        (embed(c_scr[0]), embed(c_scr[1])), log_n + log_e, False, d4,
+        split=(log_n1 + log_e, log_n2))
+    return _hash_rows_commit(evals, w, big_n)
 
 
 def lde_commit(x):
