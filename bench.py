@@ -505,9 +505,11 @@ def main():
         extras["poly_multiply_deg_2^14_s"] = timed_host(
             lambda: pa.fast_multiply(pb))
 
-    if full_block(["poly_interpolate_2^9_s",
+    if full_block(["poly_interpolate_2^9_s", "poly_interpolate_2^10_s",
+                   "poly_interpolate_2^15_s",
+                   "poly_batch_evaluate_2^14_on_2^14_s",
                    "poly_batch_evaluate_2^12_on_2^9_s", "poly_zerofier_2^9_s",
-                   "poly_clean_divide_2^12_s"], 45):
+                   "poly_clean_divide_2^12_s"], 50):
         from twenty_first_tpu.math.polynomial import Polynomial
         from twenty_first_tpu.math.b_field_element import bfe
 
@@ -517,6 +519,24 @@ def main():
         vals = rng.integers(0, p, size=dom.shape[0], dtype=np.uint64)
         extras["poly_interpolate_2^9_s"] = timed_host(
             lambda: Polynomial.fast_interpolate(dom, vals), reps=2)
+
+        # reference interpolation.rs sizes (benches/interpolation.rs:13-14)
+        # and the evaluation.rs headline shape (benches/evaluation.rs:13)
+        for lg in (10, 15):
+            domb = np.unique(rng.integers(
+                1, p, size=(1 << lg) + (1 << (lg - 2)),
+                dtype=np.uint64))[: 1 << lg]
+            valsb = rng.integers(0, p, size=1 << lg, dtype=np.uint64)
+            extras[f"poly_interpolate_2^{lg}_s"] = timed_host(
+                lambda d=domb, v=valsb: Polynomial.fast_interpolate(d, v),
+                reps=2)
+        dom14 = np.unique(rng.integers(
+            1, p, size=(1 << 14) + (1 << 12),
+            dtype=np.uint64))[: 1 << 14]
+        p14 = Polynomial.from_array(
+            rng.integers(0, p, size=1 << 14, dtype=np.uint64))
+        extras["poly_batch_evaluate_2^14_on_2^14_s"] = timed_host(
+            lambda: p14._remainder_tree_eval(dom14), reps=2)
 
         pdeg = Polynomial.from_array(
             rng.integers(0, p, size=1 << 12, dtype=np.uint64))

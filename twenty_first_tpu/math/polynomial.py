@@ -1292,14 +1292,7 @@ class Polynomial:
                 return native.horner_points(reduced, pts)
         rows = np.zeros((1, n_pad), dtype=np.uint64)
         rows[0, : reduced.shape[0]] = reduced
-        e = 0
-        while e < depth and rows.shape[1] > 64:
-            div = z[e + 1]
-            rep = np.repeat(rows, 2, axis=0)
-            qlen = rep.shape[1] - (div.shape[1] - 1)
-            binv = Polynomial._rows_ps_inverse(div[:, ::-1].copy(), qlen)
-            rows = Polynomial._rows_mod(rep, div, binv)
-            e += 1
+        rows, e = Polynomial._descend_remainder_tree(z, rows)
         vals = _horner_rows(rows, ptsp.reshape(1 << e, n_pad >> e))
         return vals.reshape(-1)[:n].copy()
 
@@ -1452,31 +1445,24 @@ class Polynomial:
         for d in range(depth - 1, -1, -1):
             z[d] = Polynomial._mul_rows(z[d + 1][0::2], z[d + 1][1::2],
                                         False)
-        # 2. top-down target scaling: divide by the sibling zerofier's
-        #    values (batch-inverted once per level)
-        t = np.stack(mats, 0)  # (B, n)
+        # 2. Lagrange weights via the derivative identity: the recursive
+        #    scheme's per-level sibling-zerofier denominators telescope to
+        #    Z'(x_i) (prod over levels of sibling-zerofier values times the
+        #    within-leaf denominators equals the full zerofier's derivative
+        #    at x_i), so ONE remainder-tree evaluation of Z' replaces a
+        #    sibling-evaluation tree per level — the dominant cost of the
+        #    previous top-down scaling (measured 2^14: 1.4 s -> this form).
+        deriv = gfn.mul(z[0][0, 1:].copy(),
+                        np.arange(1, n + 1, dtype=np.uint64))
+        dvals = Polynomial._eval_row_remainder_tree(z, deriv, pts)
+        winv = _finv(dvals, False)[None]  # (1, n): 1/Z'(x_i)
+        t = gfn.mul(np.stack(mats, 0), winv)  # (B, n) weights
         bsz = t.shape[0]
-        for d in range(depth):
-            m = 1 << d
-            s = n // m
-            half = s // 2
-            ptsd = pts.reshape(m, s)
-            if m * half * half > _INTERP_EVAL_DC_MIN:
-                # top levels: batched Horner would be O(s^2) element-ops
-                # per node; run ONE level-synchronous batched remainder
-                # tree over the z rows instead (O(n log n) per level)
-                lvals, rvals = Polynomial._eval_siblings_remainder_tree(
-                    z, d, pts)
-            else:
-                lvals = _horner_rows(z[d + 1][1::2], ptsd[:, :half])
-                rvals = _horner_rows(z[d + 1][0::2], ptsd[:, half:])
-            inv = _finv(np.concatenate([lvals, rvals], axis=1).reshape(-1),
-                        False).reshape(1, m, s)
-            t = gfn.mul(t.reshape(bsz, m, s), inv).reshape(bsz, n)
-        # 3. leaf Lagrange, batched across all leaves and batches
-        q, inv = _batch_lagrange_tables(pts.reshape(n_leafs, s_leaf),
-                                        z[depth])
-        w = gfn.mul(t.reshape(bsz, n_leafs, s_leaf), inv[None])
+        # 3. numerator-only leaf Lagrange (denominators live in Z'),
+        #    batched across all leaves and batches
+        q = _batch_lagrange_tables(pts.reshape(n_leafs, s_leaf),
+                                   z[depth], want_inv=False)
+        w = t.reshape(bsz, n_leafs, s_leaf)
         terms = gfn.mul(q[None], w[:, :, :, None])  # (B, M, S_pts, S_coef)
         while terms.shape[2] > 1:
             h = terms.shape[2] // 2
@@ -1532,41 +1518,55 @@ class Polynomial:
         return gfn.sub(a[:, :D], qb[:, :D])
 
     @staticmethod
-    def _eval_siblings_remainder_tree(z: list, d: int, pts: np.ndarray
-                                      ) -> tuple[np.ndarray, np.ndarray]:
-        """For every node i at level d (m = 2^d nodes spanning s = n/m
-        points), evaluate the RIGHT child's zerofier on the LEFT child's
-        points and vice versa — the offset denominators of the recursive
-        interpolation (polynomial.rs:1656-1701) — as a level-synchronous
-        batched remainder tree over the precomputed zerofier rows `z`.
-        O(n log n) batched host-NTT work per level instead of per-node
-        zerofier-tree rebuilds. Returns (lvals, rvals), each (m, s/2)."""
-        n = pts.shape[0]
-        m = 1 << d
-        s = n // m
-        half = s // 2
+    def _descend_remainder_tree(z: list, rows: np.ndarray
+                                ) -> tuple[np.ndarray, int]:
+        """Shared remainder-tree descent: level-synchronous batched
+        mod-reduction of `rows` ((1, L)) down the precomputed zerofier
+        tree `z`, stopping at the leaves or once rows are narrow.
+
+        Reversed-divisor inverses are parent-seeded instead of
+        Newton-computed per level: rev(Z_parent) = rev(Z_left)·rev(Z_right)
+        gives 1/rev(Z_left) ≡ rev(Z_right)·(1/rev(Z_parent)) mod x^k, so
+        below the top level each inverse batch is ONE truncated multiply
+        (measured: the per-level Newton chains were the dominant cost of
+        arbitrary-domain interpolation). Returns (rows, level)."""
         depth = len(z) - 1
-        # rows aligned with nodes at level d+1: node 2i evaluates the
-        # sibling's zerofier z[d+1][2i+1] on its own points, and vice versa
-        rows = np.empty_like(z[d + 1])
-        rows[0::2] = z[d + 1][1::2]
-        rows[1::2] = z[d + 1][0::2]
-        e = d + 1
-        width = rows.shape[1]  # half + 1
-        while e < depth and width > 64:
+        e = 0
+        binv_prev: np.ndarray | None = None
+        prec_prev = 0
+        while e < depth and rows.shape[1] > 64:
             div = z[e + 1]
-            dwidth = div.shape[1]  # s_{e+1} + 1
+            h = div.shape[1] - 1
             rep = np.repeat(rows, 2, axis=0)
-            qlen = rep.shape[1] - (dwidth - 1)
-            binv = Polynomial._rows_ps_inverse(
-                div[:, ::-1].copy(), qlen)
+            qlen = rep.shape[1] - h
+            if binv_prev is None or prec_prev < qlen:
+                binv = Polynomial._rows_ps_inverse(div[:, ::-1].copy(),
+                                                   qlen)
+            else:
+                sib = np.empty_like(div)
+                sib[0::2] = div[1::2]
+                sib[1::2] = div[0::2]
+                prod = Polynomial._mul_rows(
+                    sib[:, ::-1].copy(),
+                    np.repeat(binv_prev[:, :qlen], 2, axis=0), False)
+                binv = np.ascontiguousarray(prod[:, :qlen])
             rows = Polynomial._rows_mod(rep, div, binv)
-            width = rows.shape[1]
+            binv_prev, prec_prev = binv, qlen
             e += 1
+        return rows, e
+
+    @staticmethod
+    def _eval_row_remainder_tree(z: list, row: np.ndarray, pts: np.ndarray
+                                 ) -> np.ndarray:
+        """Evaluate ONE base-field polynomial row (degree < n) at all n
+        domain points: descend the precomputed zerofier tree `z` with
+        level-synchronous batched mod-reductions (the fast multipoint
+        evaluation of polynomial.rs:1840-1894, realized batch-first),
+        finish with batched Horner once rows are narrow. Returns (n,)."""
+        n = pts.shape[0]
+        rows, e = Polynomial._descend_remainder_tree(z, row.reshape(1, -1))
         ptse = pts.reshape(1 << e, n >> e)
-        vals = _horner_rows(rows, ptse)  # (2^e, s_e)
-        vals = vals.reshape(2 * m, half)
-        return vals[0::2], vals[1::2]
+        return _horner_rows(rows, ptse).reshape(n)
 
     @staticmethod
     def _batch_interp_memo(pts: np.ndarray, x: bool, mats: list,
@@ -1948,12 +1948,6 @@ class ModularInterpolationPreprocessingData:
     tail_length: int
 
 
-# crossover (element-ops) above which the top-down sibling-zerofier
-# evals in _batch_interp_pow2 route through the batched remainder tree
-# (below it, row-batched Horner on the level is cheaper)
-_INTERP_EVAL_DC_MIN = 1 << 21
-
-
 def _horner_rows(coeffs: np.ndarray, ptsm: np.ndarray) -> np.ndarray:
     """Row-batched Horner: evaluate polynomial row m (coeffs (M, k)) on
     its own point row ptsm[m] ((M, t)) -> (M, t). Base field. Blocked
@@ -1987,12 +1981,14 @@ def _horner_rows(coeffs: np.ndarray, ptsm: np.ndarray) -> np.ndarray:
     return res
 
 
-def _batch_lagrange_tables(ptsm: np.ndarray, zrows: np.ndarray
-                           ) -> tuple[np.ndarray, np.ndarray]:
+def _batch_lagrange_tables(ptsm: np.ndarray, zrows: np.ndarray,
+                           want_inv: bool = True):
     """Batched Lagrange tables for M equal-size leaf domains: synthetic-
-    division quotient tensor Q[m, i, j] (coeff j of Z_m/(X - d_{m,i})) and
-    inverted denominators Q_{m,i}(d_{m,i}). Base field; the batched form
-    of _lagrange_precompute."""
+    division quotient tensor Q[m, i, j] (coeff j of Z_m/(X - d_{m,i})) and,
+    with ``want_inv``, the inverted denominators Q_{m,i}(d_{m,i}). Base
+    field; the batched form of _lagrange_precompute. Callers whose
+    denominators are folded into the full-zerofier derivative (the
+    interpolation weight identity) pass want_inv=False and get Q alone."""
     m_, s = ptsm.shape
     q = np.zeros((m_, s, s), dtype=np.uint64)
     col = np.broadcast_to(zrows[:, s: s + 1], (m_, s)).copy()
@@ -2001,6 +1997,8 @@ def _batch_lagrange_tables(ptsm: np.ndarray, zrows: np.ndarray
         col = gfn.add(np.broadcast_to(zrows[:, j: j + 1], (m_, s)),
                       gfn.mul(col, ptsm))
         q[:, :, j - 1] = col
+    if not want_inv:
+        return q
     acc = q[:, :, s - 1].copy()
     for j in range(s - 2, -1, -1):
         acc = gfn.add(gfn.mul(acc, ptsm), q[:, :, j])
