@@ -187,6 +187,28 @@ class TestBatchFastInterpolate:
         with pytest.raises(PolynomialError):
             Polynomial.batch_fast_interpolate([], [[]])
 
+    def test_deep_pow2_path_matches_recursive_memo(self):
+        """2^9 points = 5 zerofier-tree levels: exercises the derivative-
+        identity weights (one Z' remainder-tree evaluation) and several
+        parent-seeded reversed-divisor inverse levels against the
+        independent recursive-memo algorithm."""
+        import numpy as np
+
+        P = (1 << 64) - (1 << 32) + 1
+        rng = np.random.default_rng(42)
+        n = 1 << 9
+        dom = np.unique(rng.integers(1, P, size=n + 128,
+                                     dtype=np.uint64))[:n]
+        batches = [rng.integers(0, P, size=n, dtype=np.uint64)
+                   for _ in range(3)]
+        got = Polynomial.batch_fast_interpolate(dom, batches)
+        memo = Polynomial._batch_interp_memo(dom, False, batches, {}, {})
+        assert got == memo
+        # evaluate-back roundtrip on a sample of points
+        for g, vals in zip(got, batches):
+            back = g._remainder_tree_eval(dom)
+            assert np.array_equal(back, vals)
+
 
 class TestCleanDivide:
     def test_adversarial_root_on_base_coset(self):
