@@ -17,6 +17,7 @@ host; SHAKE256/SHA3-256 come from hashlib (FIPS 202).
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import json
 from dataclasses import dataclass
@@ -65,35 +66,39 @@ POWERS_OF_PSI_INV_BITREVERSED = _psi_table(PSI_INV)
 
 def coset_ntt_noswap_64(array: np.ndarray) -> np.ndarray:
     """Forward negacyclic NTT, Cooley-Tukey, no bit-reversal swap
-    (lattice.rs:113-201). Vectorized over leading dims of (..., 64)."""
+    (lattice.rs:113-201). Vectorized over leading dims of (..., 64) AND
+    across the stage's butterfly groups (each level's blocks are
+    contiguous, so one reshape exposes them as a batch axis — three
+    field-op calls per level instead of three per group; the KEM was
+    Python-dispatch-bound on the per-group form)."""
     a = np.array(array, dtype=np.uint64)
+    batch = a.shape[:-1]
     m, t = 1, N
     while m < N:
         t >>= 1
-        for i in range(m):
-            s = i * t * 2
-            zeta = POWERS_OF_PSI_BITREVERSED[m + i]
-            u = a[..., s: s + t].copy()
-            v = gfn.mul(a[..., s + t: s + 2 * t], zeta)
-            a[..., s: s + t] = gfn.add(u, v)
-            a[..., s + t: s + 2 * t] = gfn.sub(u, v)
+        blk = a.reshape(batch + (m, 2, t))
+        zetas = POWERS_OF_PSI_BITREVERSED[m: 2 * m, None]
+        u = blk[..., 0, :]
+        v = gfn.mul(blk[..., 1, :], zetas)
+        a = np.stack([gfn.add(u, v), gfn.sub(u, v)],
+                     axis=-2).reshape(batch + (N,))
         m *= 2
     return a
 
 
 def coset_intt_noswap_64(array: np.ndarray) -> np.ndarray:
-    """Inverse negacyclic NTT, Gentleman-Sande (lattice.rs:17-111)."""
+    """Inverse negacyclic NTT, Gentleman-Sande (lattice.rs:17-111);
+    group-vectorized like the forward transform."""
     a = np.array(array, dtype=np.uint64)
+    batch = a.shape[:-1]
     t, h = 1, N // 2
     for _ in range(LOG_N):
-        k = 0
-        for i in range(h):
-            zeta = POWERS_OF_PSI_INV_BITREVERSED[h + i]
-            u = a[..., k: k + t].copy()
-            v = a[..., k + t: k + 2 * t].copy()
-            a[..., k: k + t] = gfn.add(u, v)
-            a[..., k + t: k + 2 * t] = gfn.mul(gfn.sub(u, v), zeta)
-            k += 2 * t
+        blk = a.reshape(batch + (h, 2, t))
+        zetas = POWERS_OF_PSI_INV_BITREVERSED[h: 2 * h, None]
+        u = blk[..., 0, :]
+        v = blk[..., 1, :]
+        a = np.stack([gfn.add(u, v), gfn.mul(gfn.sub(u, v), zetas)],
+                     axis=-2).reshape(batch + (N,))
         t *= 2
         h >>= 1
     return gfn.mul(a, np.uint64(N_INV))
@@ -119,21 +124,13 @@ class CyclotomicRingElement:
     def sample_short(cls, randomness: bytes) -> "CyclotomicRingElement":
         if len(randomness) < 8 * N:
             raise LatticeError(f"need at least {8 * N} randomness bytes")
-        coeffs = [
-            sample_short_bfield_element(randomness[8 * i: 8 * i + 8]).value()
-            for i in range(N)
-        ]
-        return cls(np.array(coeffs, dtype=np.uint64))
+        return cls(_sample_short_rows(randomness[: 8 * N]).reshape(N))
 
     @classmethod
     def sample_uniform(cls, randomness: bytes) -> "CyclotomicRingElement":
         if len(randomness) < 9 * N:
             raise LatticeError(f"need at least {9 * N} randomness bytes")
-        coeffs = np.zeros(N, dtype=np.uint64)
-        for i in range(N):
-            acc = int.from_bytes(randomness[9 * i: 9 * i + 9], "big") % P
-            coeffs[i] = acc
-        return cls(coeffs)
+        return cls(_sample_uniform_rows(randomness[: 9 * N]).reshape(N))
 
     @staticmethod
     def hadamard(a: "CyclotomicRingElement", b: "CyclotomicRingElement"
@@ -208,6 +205,37 @@ def extract_msg(embedding: CyclotomicRingElement) -> bytes:
 
 _NUM_SET_BITS = np.array([bin(i).count("1") for i in range(256)],
                          dtype=np.uint64)
+_SHORT_SHIFTS = np.arange(48, -1, -16, dtype=np.uint64)  # 16*(3-i)
+
+
+def _sample_short_rows(randomness: bytes) -> np.ndarray:
+    """Vectorized sample_short_bfield_element over len(randomness)//8
+    coefficients: popcount difference of two 4-byte halves, packed into
+    16-bit chunks (lattice.rs:410-421). Returns (k,) uint64 canonical."""
+    b = np.frombuffer(randomness, dtype=np.uint8).reshape(-1, 8)
+    pc = _NUM_SET_BITS[b]  # (k, 8) uint64
+    left = np.sum(pc[:, :4] << _SHORT_SHIFTS, axis=1)
+    right = np.sum(pc[:, 4:] << _SHORT_SHIFTS, axis=1)
+    return gfn.sub(left, right)
+
+
+_U32_MOD_P = np.uint64(0xFFFF_FFFF)  # 2^64 mod P
+
+
+def _sample_uniform_rows(randomness: bytes) -> np.ndarray:
+    """Vectorized sample_uniform: each 9 big-endian bytes taken mod P
+    (lattice.rs:423-424 wire rule). Returns (k,) uint64 canonical."""
+    b = np.frombuffer(randomness, dtype=np.uint8).reshape(-1, 9)
+    hi = b[:, 0].astype(np.uint64)  # the 2^64 digit
+    lo_hi = np.zeros(b.shape[0], dtype=np.uint64)
+    lo_lo = np.zeros(b.shape[0], dtype=np.uint64)
+    for i in range(1, 5):
+        lo_hi = (lo_hi << 8) | b[:, i]
+        lo_lo = (lo_lo << 8) | b[:, i + 4]
+    # value = hi*2^64 + lo_hi*2^32 + lo_lo; all three digits canonical
+    acc = gfn.add(gfn.mul(hi, _U32_MOD_P),
+                  gfn.mul(lo_hi, np.uint64(1) << np.uint64(32)))
+    return gfn.add(acc, lo_lo)
 
 
 def sample_short_bfield_element(randomness: bytes) -> BFieldElement:
@@ -215,14 +243,7 @@ def sample_short_bfield_element(randomness: bytes) -> BFieldElement:
     halves, packed into 16-bit chunks (lattice.rs:410-421)."""
     if len(randomness) != 8:
         raise LatticeError("need exactly 8 randomness bytes")
-    left = sum(
-        int(_NUM_SET_BITS[randomness[i]]) << (16 * (3 - i)) for i in range(4)
-    )
-    right = sum(
-        int(_NUM_SET_BITS[randomness[4 + i]]) << (16 * (3 - i))
-        for i in range(4)
-    )
-    return bfe(left) - bfe(right)
+    return bfe(int(_sample_short_rows(randomness)[0]))
 
 
 class ModuleElement:
@@ -254,23 +275,15 @@ class ModuleElement:
     def sample_short(cls, randomness: bytes, n: int) -> "ModuleElement":
         if len(randomness) < 8 * N * n:
             raise LatticeError("not enough randomness for short sampling")
-        return cls([
-            CyclotomicRingElement.sample_short(
-                randomness[8 * N * i: 8 * N * (i + 1)]
-            )
-            for i in range(n)
-        ])
+        return cls(_sample_short_rows(randomness[: 8 * N * n])
+                   .reshape(n, N))
 
     @classmethod
     def sample_uniform(cls, randomness: bytes, n: int) -> "ModuleElement":
         if len(randomness) < 9 * N * n:
             raise LatticeError("not enough randomness for uniform sampling")
-        return cls([
-            CyclotomicRingElement.sample_uniform(
-                randomness[9 * N * i: 9 * N * (i + 1)]
-            )
-            for i in range(n)
-        ])
+        return cls(_sample_uniform_rows(randomness[: 9 * N * n])
+                   .reshape(n, N))
 
     def ntt(self) -> "ModuleElement":
         return ModuleElement(coset_ntt_noswap_64(self.elements))
@@ -474,7 +487,11 @@ def shake256(data: bytes, num_out_bytes: int) -> bytes:
     return hashlib.shake_256(data).digest(num_out_bytes)
 
 
+@functools.lru_cache(maxsize=8)
 def _derive_public_matrix(seed: bytes) -> ModuleElement:
+    """Uniform 4x4 public matrix from the pk seed. Cached: the matrix is
+    deterministic PUBLIC data re-derived on every enc and every FO
+    re-encryption in dec (callers treat ModuleElements as immutable)."""
     randomness = shake256(seed, 9 * 64 * 16)
     return ModuleElement.sample_uniform(randomness, 16)
 
@@ -490,7 +507,10 @@ def _derive_secret_vectors(seed: bytes) -> tuple[ModuleElement, ModuleElement]:
 def _derive_public_key(key: bytes, seed: bytes) -> PublicKey:
     a, c = _derive_secret_vectors(key)
     g = _derive_public_matrix(seed)
-    ga = ModuleElement.multiply_hadamard(g, a.ntt(), 4, 4, 1) + c.ntt()
+    stacked = coset_ntt_noswap_64(np.concatenate(
+        [a.elements, c.elements], axis=0))
+    ga = ModuleElement.multiply_hadamard(
+        g, ModuleElement(stacked[:4]), 4, 4, 1) + ModuleElement(stacked[4:])
     return PublicKey(seed=seed, ga=ga)
 
 
@@ -507,13 +527,16 @@ def keygen(randomness: bytes) -> tuple[SecretKey, PublicKey]:
 def _generate_ciphertext_derandomized(pk: PublicKey, payload: bytes
                                       ) -> Ciphertext:
     b, d = _derive_secret_vectors(payload)
-    b_ntt = b.ntt()
-    d_ntt = d.ntt()
+    m = embed_msg(payload)
+    # one batched transform for b (4), d (4) and the embedded message
+    stacked = coset_ntt_noswap_64(np.concatenate(
+        [b.elements, d.elements, m.coefficients[None]], axis=0))
+    b_ntt = ModuleElement(stacked[:4])
+    d_ntt = ModuleElement(stacked[4:8])
+    m_ntt = ModuleElement(stacked[8:])
     g = _derive_public_matrix(pk.seed)
     bg = ModuleElement.multiply_hadamard(b_ntt, g, 1, 4, 4) + d_ntt
-    m = embed_msg(payload)
-    bga_m = ModuleElement.multiply_hadamard(b_ntt, pk.ga, 1, 4, 1) + \
-        ModuleElement([m]).ntt()
+    bga_m = ModuleElement.multiply_hadamard(b_ntt, pk.ga, 1, 4, 1) + m_ntt
     return Ciphertext(bg=bg, bga_m=bga_m)
 
 
