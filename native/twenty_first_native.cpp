@@ -309,19 +309,20 @@ static inline void tip5_round(u64* s, int r) {
 
 static inline void gl_mul8(const u64* a, const u64* b, u64* out) {
   for (int l = 0; l < L8; l++) {
-    const u64 a0 = a[l] & 0xffffffffULL, a1 = a[l] >> 32;
-    const u64 b0 = b[l] & 0xffffffffULL, b1 = b[l] >> 32;
-    const u64 ll = a0 * b0, lh = a0 * b1, hl = a1 * b0, hh = a1 * b1;
+    const u64 ll = (a[l] & 0xffffffffULL) * (b[l] & 0xffffffffULL);
+    const u64 lh = (a[l] & 0xffffffffULL) * (b[l] >> 32);
+    const u64 hl = (a[l] >> 32) * (b[l] & 0xffffffffULL);
+    const u64 hh = (a[l] >> 32) * (b[l] >> 32);
     const u64 cross = lh + hl;
     const u64 cross_c = (u64)(cross < lh) << 32;  // carry weight 2^96 -> hi bit 32
     const u64 lo = ll + (cross << 32);
     const u64 c0 = (u64)(lo < ll);
     const u64 hi = hh + (cross >> 32) + cross_c + c0;
     // Goldilocks reduction of (lo, hi), branchless
-    const u64 hi_hi = hi >> 32, hi_lo = hi & 0xffffffffULL;
+    const u64 hi_hi = hi >> 32;
     u64 t0 = lo - hi_hi;
     t0 -= EPSILON & (u64)(0 - (u64)(lo < hi_hi));
-    const u64 t1 = hi_lo * EPSILON;
+    const u64 t1 = (hi & 0xffffffffULL) * EPSILON;
     u64 res = t0 + t1;
     res += EPSILON & (u64)(0 - (u64)(res < t0));
     res -= P & (u64)(0 - (u64)(res >= P));
@@ -337,6 +338,135 @@ static inline void gl_add8(const u64* a, const u64* b, u64* out) {
     out[l] = s;
   }
 }
+
+// --- AVX-512 intrinsics variant of the 8-lane round ------------------------
+//
+// gcc 12 never converts the scalar 32-bit-split multiplies above into
+// vpmuludq — every product becomes the microcoded vpmullq (measured 2.5x
+// slower per dependent op on this part). The reference solves the same
+// problem with explicit AVX-512 (tip5/avx512.rs); we do the equivalent
+// here: one __m512i per state word (8 lanes), vpmuludq partial products,
+// mask-register carry/wrap corrections. Bit-identical to the scalar
+// kernel (same operation order and corrections lane-wise).
+
+#if defined(__AVX512F__) && defined(__AVX512DQ__)
+#include <immintrin.h>
+
+#define TIP5_AVX512 1
+
+static inline __m512i glv_reduce(__m512i lo, __m512i hi) {
+  const __m512i eps = _mm512_set1_epi64((long long)EPSILON);
+  const __m512i p = _mm512_set1_epi64((long long)P);
+  const __m512i hihi = _mm512_srli_epi64(hi, 32);
+  __m512i t0 = _mm512_sub_epi64(lo, hihi);
+  const __mmask8 bw = _mm512_cmplt_epu64_mask(lo, hihi);
+  t0 = _mm512_mask_sub_epi64(t0, bw, t0, eps);
+  const __m512i t1 = _mm512_mul_epu32(hi, eps);  // low32(hi) * EPSILON
+  __m512i res = _mm512_add_epi64(t0, t1);
+  const __mmask8 ov = _mm512_cmplt_epu64_mask(res, t0);
+  res = _mm512_mask_add_epi64(res, ov, res, eps);
+  const __mmask8 ge = _mm512_cmpge_epu64_mask(res, p);
+  return _mm512_mask_sub_epi64(res, ge, res, p);
+}
+
+static inline __m512i glv_mul(__m512i a, __m512i b) {
+  const __m512i ah = _mm512_srli_epi64(a, 32);
+  const __m512i bh = _mm512_srli_epi64(b, 32);
+  const __m512i ll = _mm512_mul_epu32(a, b);  // vpmuludq reads low 32s
+  const __m512i lh = _mm512_mul_epu32(a, bh);
+  const __m512i hl = _mm512_mul_epu32(ah, b);
+  const __m512i hh = _mm512_mul_epu32(ah, bh);
+  const __m512i cross = _mm512_add_epi64(lh, hl);
+  const __mmask8 cc = _mm512_cmplt_epu64_mask(cross, lh);
+  const __m512i lo = _mm512_add_epi64(ll, _mm512_slli_epi64(cross, 32));
+  const __mmask8 c0 = _mm512_cmplt_epu64_mask(lo, ll);
+  __m512i hi = _mm512_add_epi64(hh, _mm512_srli_epi64(cross, 32));
+  hi = _mm512_mask_add_epi64(hi, cc, hi,
+                             _mm512_set1_epi64(1LL << 32));
+  hi = _mm512_mask_add_epi64(hi, c0, hi, _mm512_set1_epi64(1));
+  return glv_reduce(lo, hi);
+}
+
+static inline __m512i glv_add(__m512i a, __m512i b) {
+  const __m512i eps = _mm512_set1_epi64((long long)EPSILON);
+  const __m512i p = _mm512_set1_epi64((long long)P);
+  __m512i s = _mm512_add_epi64(a, b);
+  const __mmask8 c = _mm512_cmplt_epu64_mask(s, a);
+  s = _mm512_mask_add_epi64(s, c, s, eps);
+  const __mmask8 ge = _mm512_cmpge_epu64_mask(s, p);
+  return _mm512_mask_sub_epi64(s, ge, s, p);
+}
+
+static void tip5_round8_avx512(u64 s[16][L8], int r) {
+  const __m512i mask32 = _mm512_set1_epi64((long long)0xffffffffULL);
+  const __m512i veps = _mm512_set1_epi64((long long)EPSILON);
+  const __m512i vrinv = _mm512_set1_epi64((long long)R_INV);
+  __m512i v[16];
+  for (int i = 0; i < 16; i++)
+    v[i] = _mm512_loadu_si512((const void*)s[i]);
+  // S-box words 0..3: Montgomery bytes -> LUT -> back. One word-vector's
+  // Montgomery rep is exactly 64 bytes = one zmm, and the 256-byte LUT is
+  // 4 zmm: two vpermi2b 128-entry lookups blended by each index byte's
+  // top bit (AVX512-VBMI), replacing 64 scalar byte extractions per word.
+#ifdef __AVX512VBMI__
+  const __m512i lut0 = _mm512_loadu_si512((const void*)(LUT + 0));
+  const __m512i lut1 = _mm512_loadu_si512((const void*)(LUT + 64));
+  const __m512i lut2 = _mm512_loadu_si512((const void*)(LUT + 128));
+  const __m512i lut3 = _mm512_loadu_si512((const void*)(LUT + 192));
+  for (int i = 0; i < 4; i++) {
+    const __m512i m = glv_mul(v[i], veps);
+    const __m512i sello = _mm512_permutex2var_epi8(lut0, m, lut1);
+    const __m512i selhi = _mm512_permutex2var_epi8(lut2, m, lut3);
+    const __mmask64 top = _mm512_movepi8_mask(m);  // bit 7 of each byte
+    v[i] = glv_mul(_mm512_mask_blend_epi8(top, sello, selhi), vrinv);
+  }
+#else
+  for (int i = 0; i < 4; i++) {
+    alignas(64) u64 m[L8], t[L8];
+    _mm512_storeu_si512((void*)m, glv_mul(v[i], veps));
+    for (int l = 0; l < L8; l++) {
+      u64 out = 0;
+      for (int byte = 0; byte < 8; byte++)
+        out |= (u64)LUT[(m[l] >> (8 * byte)) & 0xff] << (8 * byte);
+      t[l] = out;
+    }
+    v[i] = glv_mul(_mm512_loadu_si512((const void*)t), vrinv);
+  }
+#endif
+  // words 4..15: x^7
+  for (int i = 4; i < 16; i++) {
+    const __m512i sq = glv_mul(v[i], v[i]);
+    const __m512i qu = glv_mul(sq, sq);
+    v[i] = glv_mul(glv_mul(qu, sq), v[i]);
+  }
+  // MDS circulant on 32-bit halves: vpmuludq axpy, accumulators < 2^52
+  __m512i slo[16], shi[16];
+  for (int j = 0; j < 16; j++) {
+    slo[j] = _mm512_and_si512(v[j], mask32);
+    shi[j] = _mm512_srli_epi64(v[j], 32);
+  }
+  for (int i = 0; i < 16; i++) {
+    __m512i alo = _mm512_setzero_si512(), ahi = _mm512_setzero_si512();
+    for (int k = 0; k < 16; k++) {
+      // row i tap k reads input word (i - k) mod 16 (circulant)
+      const int j = (i - k) & 15;
+      const __m512i c = _mm512_set1_epi64((long long)MDS_COL[k]);
+      alo = _mm512_add_epi64(alo, _mm512_mul_epu32(c, slo[j]));
+      ahi = _mm512_add_epi64(ahi, _mm512_mul_epu32(c, shi[j]));
+    }
+    // value = alo + 2^32*ahi -> (lo, hi) pair, then Goldilocks-reduce
+    const __m512i lo = _mm512_add_epi64(alo, _mm512_slli_epi64(ahi, 32));
+    const __mmask8 c0 = _mm512_cmplt_epu64_mask(lo, alo);
+    __m512i hi = _mm512_srli_epi64(ahi, 32);
+    hi = _mm512_mask_add_epi64(hi, c0, hi, _mm512_set1_epi64(1));
+    const __m512i rc =
+        _mm512_set1_epi64((long long)RC[16 * r + i]);
+    v[i] = glv_add(glv_reduce(lo, hi), rc);
+  }
+  for (int i = 0; i < 16; i++)
+    _mm512_storeu_si512((void*)s[i], v[i]);
+}
+#endif  // __AVX512F__ && __AVX512DQ__
 
 static void tip5_round8(u64 s[16][L8], int r) {
   static const u64 EPS8[L8] = {EPSILON, EPSILON, EPSILON, EPSILON,
@@ -383,8 +513,9 @@ static void tip5_round8(u64 s[16][L8], int r) {
       const u64* pl = s2lo[16 - k + i];
       const u64* ph = s2hi[16 - k + i];
       for (int l = 0; l < L8; l++) {
-        alo[i][l] += c * pl[l];
-        ahi[i][l] += c * ph[l];
+        // operands < 2^16 / < 2^32; masked multiplies compile to vpmuludq
+        alo[i][l] += (c & 0xffffffffULL) * (pl[l] & 0xffffffffULL);
+        ahi[i][l] += (c & 0xffffffffULL) * (ph[l] & 0xffffffffULL);
       }
     }
   }
@@ -396,10 +527,10 @@ static void tip5_round8(u64 s[16][L8], int r) {
       const u64 carry = (u64)(lo < alo[i][l]);
       const u64 hi = (ahi[i][l] >> 32) + carry;   // < 2^21
       // value = lo + 2^64*hi; reduce: 2^64 == EPSILON (mod p)
-      const u64 hi_hi = hi >> 32, hi_lo = hi & 0xffffffffULL;  // hi_hi == 0
+      const u64 hi_hi = hi >> 32;  // == 0 (hi < 2^21)
       u64 t0 = lo - hi_hi;
       t0 -= EPSILON & (u64)(0 - (u64)(lo < hi_hi));
-      const u64 t1 = hi_lo * EPSILON;
+      const u64 t1 = (hi & 0xffffffffULL) * EPSILON;
       u64 res = t0 + t1;
       res += EPSILON & (u64)(0 - (u64)(res < t0));
       res -= P & (u64)(0 - (u64)(res >= P));
@@ -412,10 +543,14 @@ static void tip5_round8(u64 s[16][L8], int r) {
 
 static void tip5_permute_block8(u64* states) {
   // AoS (8, 16) -> SoA [16][8], 5 rounds, back
-  u64 s[16][L8];
+  alignas(64) u64 s[16][L8];
   for (int i = 0; i < 16; i++)
     for (int l = 0; l < L8; l++) s[i][l] = states[16 * l + i];
+#ifdef TIP5_AVX512
+  for (int r = 0; r < 5; r++) tip5_round8_avx512(s, r);
+#else
   for (int r = 0; r < 5; r++) tip5_round8(s, r);
+#endif
   for (int i = 0; i < 16; i++)
     for (int l = 0; l < L8; l++) states[16 * l + i] = s[i][l];
 }
