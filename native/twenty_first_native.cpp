@@ -67,22 +67,106 @@ static inline u64 gl_pow(u64 base, u64 e) {
 
 static inline u64 gl_inv(u64 x) { return gl_pow(x, P - 2); }
 
+#if defined(__AVX512F__) && defined(__AVX512DQ__)
+#include <immintrin.h>
+
+#define TIP5_AVX512 1
+
+static inline __m512i glv_reduce(__m512i lo, __m512i hi) {
+  const __m512i eps = _mm512_set1_epi64((long long)EPSILON);
+  const __m512i p = _mm512_set1_epi64((long long)P);
+  const __m512i hihi = _mm512_srli_epi64(hi, 32);
+  __m512i t0 = _mm512_sub_epi64(lo, hihi);
+  const __mmask8 bw = _mm512_cmplt_epu64_mask(lo, hihi);
+  t0 = _mm512_mask_sub_epi64(t0, bw, t0, eps);
+  const __m512i t1 = _mm512_mul_epu32(hi, eps);  // low32(hi) * EPSILON
+  __m512i res = _mm512_add_epi64(t0, t1);
+  const __mmask8 ov = _mm512_cmplt_epu64_mask(res, t0);
+  res = _mm512_mask_add_epi64(res, ov, res, eps);
+  const __mmask8 ge = _mm512_cmpge_epu64_mask(res, p);
+  return _mm512_mask_sub_epi64(res, ge, res, p);
+}
+
+static inline __m512i glv_mul(__m512i a, __m512i b) {
+  const __m512i ah = _mm512_srli_epi64(a, 32);
+  const __m512i bh = _mm512_srli_epi64(b, 32);
+  const __m512i ll = _mm512_mul_epu32(a, b);  // vpmuludq reads low 32s
+  const __m512i lh = _mm512_mul_epu32(a, bh);
+  const __m512i hl = _mm512_mul_epu32(ah, b);
+  const __m512i hh = _mm512_mul_epu32(ah, bh);
+  const __m512i cross = _mm512_add_epi64(lh, hl);
+  const __mmask8 cc = _mm512_cmplt_epu64_mask(cross, lh);
+  const __m512i lo = _mm512_add_epi64(ll, _mm512_slli_epi64(cross, 32));
+  const __mmask8 c0 = _mm512_cmplt_epu64_mask(lo, ll);
+  __m512i hi = _mm512_add_epi64(hh, _mm512_srli_epi64(cross, 32));
+  hi = _mm512_mask_add_epi64(hi, cc, hi,
+                             _mm512_set1_epi64(1LL << 32));
+  hi = _mm512_mask_add_epi64(hi, c0, hi, _mm512_set1_epi64(1));
+  return glv_reduce(lo, hi);
+}
+
+static inline __m512i glv_add(__m512i a, __m512i b) {
+  const __m512i eps = _mm512_set1_epi64((long long)EPSILON);
+  const __m512i p = _mm512_set1_epi64((long long)P);
+  __m512i s = _mm512_add_epi64(a, b);
+  const __mmask8 c = _mm512_cmplt_epu64_mask(s, a);
+  s = _mm512_mask_add_epi64(s, c, s, eps);
+  const __mmask8 ge = _mm512_cmpge_epu64_mask(s, p);
+  return _mm512_mask_sub_epi64(s, ge, s, p);
+}
+
+
+static inline __m512i glv_sub(__m512i a, __m512i b) {
+  __m512i d = _mm512_sub_epi64(a, b);
+  const __mmask8 bw = _mm512_cmplt_epu64_mask(a, b);
+  return _mm512_mask_sub_epi64(d, bw, d,
+                               _mm512_set1_epi64((long long)EPSILON));
+}
+
+#endif  // __AVX512F__ && __AVX512DQ__
+
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
 // Elementwise field ops on arrays
 // ---------------------------------------------------------------------------
 
+// Elementwise loops use the AVX-512 field primitives when available:
+// gcc will not form vpmuludq from the scalar forms (see the Tip5 kernel
+// note), and even add/sub gain from mask-register wrap corrections.
+
 void gl_add_arrays(const u64* a, const u64* b, u64* out, size_t n) {
-  for (size_t i = 0; i < n; i++) out[i] = gl_add(a[i], b[i]);
+  size_t i = 0;
+#ifdef TIP5_AVX512
+  for (; i + 8 <= n; i += 8)
+    _mm512_storeu_si512((void*)(out + i),
+                        glv_add(_mm512_loadu_si512((const void*)(a + i)),
+                                _mm512_loadu_si512((const void*)(b + i))));
+#endif
+  for (; i < n; i++) out[i] = gl_add(a[i], b[i]);
 }
 
 void gl_sub_arrays(const u64* a, const u64* b, u64* out, size_t n) {
-  for (size_t i = 0; i < n; i++) out[i] = gl_sub(a[i], b[i]);
+  size_t i = 0;
+#ifdef TIP5_AVX512
+  for (; i + 8 <= n; i += 8)
+    _mm512_storeu_si512((void*)(out + i),
+                        glv_sub(_mm512_loadu_si512((const void*)(a + i)),
+                                _mm512_loadu_si512((const void*)(b + i))));
+#endif
+  for (; i < n; i++) out[i] = gl_sub(a[i], b[i]);
 }
 
 void gl_mul_arrays(const u64* a, const u64* b, u64* out, size_t n) {
-  for (size_t i = 0; i < n; i++) out[i] = gl_mul(a[i], b[i]);
+  size_t i = 0;
+#ifdef TIP5_AVX512
+  for (; i + 8 <= n; i += 8)
+    _mm512_storeu_si512((void*)(out + i),
+                        glv_mul(_mm512_loadu_si512((const void*)(a + i)),
+                                _mm512_loadu_si512((const void*)(b + i))));
+#endif
+  for (; i < n; i++) out[i] = gl_mul(a[i], b[i]);
 }
 
 // Extension-field multiply on interleaved (n, 3) arrays: the reference's
@@ -349,54 +433,7 @@ static inline void gl_add8(const u64* a, const u64* b, u64* out) {
 // mask-register carry/wrap corrections. Bit-identical to the scalar
 // kernel (same operation order and corrections lane-wise).
 
-#if defined(__AVX512F__) && defined(__AVX512DQ__)
-#include <immintrin.h>
-
-#define TIP5_AVX512 1
-
-static inline __m512i glv_reduce(__m512i lo, __m512i hi) {
-  const __m512i eps = _mm512_set1_epi64((long long)EPSILON);
-  const __m512i p = _mm512_set1_epi64((long long)P);
-  const __m512i hihi = _mm512_srli_epi64(hi, 32);
-  __m512i t0 = _mm512_sub_epi64(lo, hihi);
-  const __mmask8 bw = _mm512_cmplt_epu64_mask(lo, hihi);
-  t0 = _mm512_mask_sub_epi64(t0, bw, t0, eps);
-  const __m512i t1 = _mm512_mul_epu32(hi, eps);  // low32(hi) * EPSILON
-  __m512i res = _mm512_add_epi64(t0, t1);
-  const __mmask8 ov = _mm512_cmplt_epu64_mask(res, t0);
-  res = _mm512_mask_add_epi64(res, ov, res, eps);
-  const __mmask8 ge = _mm512_cmpge_epu64_mask(res, p);
-  return _mm512_mask_sub_epi64(res, ge, res, p);
-}
-
-static inline __m512i glv_mul(__m512i a, __m512i b) {
-  const __m512i ah = _mm512_srli_epi64(a, 32);
-  const __m512i bh = _mm512_srli_epi64(b, 32);
-  const __m512i ll = _mm512_mul_epu32(a, b);  // vpmuludq reads low 32s
-  const __m512i lh = _mm512_mul_epu32(a, bh);
-  const __m512i hl = _mm512_mul_epu32(ah, b);
-  const __m512i hh = _mm512_mul_epu32(ah, bh);
-  const __m512i cross = _mm512_add_epi64(lh, hl);
-  const __mmask8 cc = _mm512_cmplt_epu64_mask(cross, lh);
-  const __m512i lo = _mm512_add_epi64(ll, _mm512_slli_epi64(cross, 32));
-  const __mmask8 c0 = _mm512_cmplt_epu64_mask(lo, ll);
-  __m512i hi = _mm512_add_epi64(hh, _mm512_srli_epi64(cross, 32));
-  hi = _mm512_mask_add_epi64(hi, cc, hi,
-                             _mm512_set1_epi64(1LL << 32));
-  hi = _mm512_mask_add_epi64(hi, c0, hi, _mm512_set1_epi64(1));
-  return glv_reduce(lo, hi);
-}
-
-static inline __m512i glv_add(__m512i a, __m512i b) {
-  const __m512i eps = _mm512_set1_epi64((long long)EPSILON);
-  const __m512i p = _mm512_set1_epi64((long long)P);
-  __m512i s = _mm512_add_epi64(a, b);
-  const __mmask8 c = _mm512_cmplt_epu64_mask(s, a);
-  s = _mm512_mask_add_epi64(s, c, s, eps);
-  const __mmask8 ge = _mm512_cmpge_epu64_mask(s, p);
-  return _mm512_mask_sub_epi64(s, ge, s, p);
-}
-
+#ifdef TIP5_AVX512
 static void tip5_round8_avx512(u64 s[16][L8], int r) {
   const __m512i mask32 = _mm512_set1_epi64((long long)0xffffffffULL);
   const __m512i veps = _mm512_set1_epi64((long long)EPSILON);
@@ -698,7 +735,17 @@ void gl_intt(u64* x, size_t n, u64 root_inv) {
 // (a[j], b[j]) <- (a[j] + tw[j]*b[j], a[j] - tw[j]*b[j]).
 static inline void gl_butterflies_vec(u64* a, u64* b, const u64* tw,
                                       size_t m) {
-  for (size_t j = 0; j < m; j++) {
+  size_t j = 0;
+#ifdef TIP5_AVX512
+  for (; j + 8 <= m; j += 8) {
+    const __m512i v = glv_mul(_mm512_loadu_si512((const void*)(b + j)),
+                              _mm512_loadu_si512((const void*)(tw + j)));
+    const __m512i u = _mm512_loadu_si512((const void*)(a + j));
+    _mm512_storeu_si512((void*)(a + j), glv_add(u, v));
+    _mm512_storeu_si512((void*)(b + j), glv_sub(u, v));
+  }
+#endif
+  for (; j < m; j++) {
     const u64 x = b[j], w = tw[j];
     const u64 a0 = x & 0xffffffffULL, a1 = x >> 32;
     const u64 b0 = w & 0xffffffffULL, b1 = w >> 32;
