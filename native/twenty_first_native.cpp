@@ -174,8 +174,67 @@ void gl_mul_arrays(const u64* a, const u64* b, u64* out, size_t n) {
 //   r0 = s0*o0 - s2*o1 - s1*o2
 //   r1 = s1*o0 + s0*o1 + s2*o1 + (s1 - s2)*o2
 //   r2 = s2*o0 + s1*o1 + (s0 + s2)*o2
+#ifdef TIP5_AVX512
+// Deinterleave 8 interleaved (s0,s1,s2) triples (3 zmm) into planar
+// vectors with two vpermi2q per plane, and back. setr = low-to-high.
+static inline void xfe_deint(const u64* p, __m512i* v0, __m512i* v1,
+                             __m512i* v2) {
+  const __m512i z0 = _mm512_loadu_si512((const void*)(p + 0));
+  const __m512i z1 = _mm512_loadu_si512((const void*)(p + 8));
+  const __m512i z2 = _mm512_loadu_si512((const void*)(p + 16));
+  const __m512i i0a = _mm512_setr_epi64(0, 3, 6, 9, 12, 15, 0, 0);
+  const __m512i i0b = _mm512_setr_epi64(0, 1, 2, 3, 4, 5, 10, 13);
+  const __m512i i1a = _mm512_setr_epi64(1, 4, 7, 10, 13, 0, 0, 0);
+  const __m512i i1b = _mm512_setr_epi64(0, 1, 2, 3, 4, 8, 11, 14);
+  const __m512i i2a = _mm512_setr_epi64(2, 5, 8, 11, 14, 0, 0, 0);
+  const __m512i i2b = _mm512_setr_epi64(0, 1, 2, 3, 4, 9, 12, 15);
+  *v0 = _mm512_permutex2var_epi64(_mm512_permutex2var_epi64(z0, i0a, z1),
+                                  i0b, z2);
+  *v1 = _mm512_permutex2var_epi64(_mm512_permutex2var_epi64(z0, i1a, z1),
+                                  i1b, z2);
+  *v2 = _mm512_permutex2var_epi64(_mm512_permutex2var_epi64(z0, i2a, z1),
+                                  i2b, z2);
+}
+
+static inline void xfe_int(__m512i r0, __m512i r1, __m512i r2, u64* p) {
+  // out flat lane k holds plane k%3, element k/3
+  const __m512i a0 = _mm512_setr_epi64(0, 8, 0, 1, 9, 0, 2, 10);
+  const __m512i b0 = _mm512_setr_epi64(0, 1, 8, 3, 4, 9, 6, 7);
+  const __m512i a1 = _mm512_setr_epi64(0, 3, 11, 0, 4, 12, 0, 5);
+  const __m512i b1 = _mm512_setr_epi64(10, 1, 2, 11, 4, 5, 12, 7);
+  const __m512i a2 = _mm512_setr_epi64(13, 0, 6, 14, 0, 7, 15, 0);
+  const __m512i b2 = _mm512_setr_epi64(0, 13, 2, 3, 14, 5, 6, 15);
+  _mm512_storeu_si512((void*)(p + 0),
+      _mm512_permutex2var_epi64(_mm512_permutex2var_epi64(r0, a0, r1),
+                                b0, r2));
+  _mm512_storeu_si512((void*)(p + 8),
+      _mm512_permutex2var_epi64(_mm512_permutex2var_epi64(r0, a1, r1),
+                                b1, r2));
+  _mm512_storeu_si512((void*)(p + 16),
+      _mm512_permutex2var_epi64(_mm512_permutex2var_epi64(r0, a2, r1),
+                                b2, r2));
+}
+#endif  // TIP5_AVX512
+
 void gl_xfe_mul_arrays(const u64* a, const u64* b, u64* out, size_t n) {
-  for (size_t i = 0; i < n; i++) {
+  size_t i = 0;
+#ifdef TIP5_AVX512
+  for (; i + 8 <= n; i += 8) {
+    __m512i s0, s1, s2, o0, o1, o2;
+    xfe_deint(a + 3 * i, &s0, &s1, &s2);
+    xfe_deint(b + 3 * i, &o0, &o1, &o2);
+    const __m512i s2o1 = glv_mul(s2, o1);
+    const __m512i r0 = glv_sub(glv_mul(s0, o0),
+                               glv_add(s2o1, glv_mul(s1, o2)));
+    __m512i r1 = glv_add(glv_mul(s1, o0), glv_mul(s0, o1));
+    r1 = glv_add(r1, s2o1);
+    r1 = glv_add(r1, glv_mul(glv_sub(s1, s2), o2));
+    __m512i r2 = glv_add(glv_mul(s2, o0), glv_mul(s1, o1));
+    r2 = glv_add(r2, glv_mul(glv_add(s0, s2), o2));
+    xfe_int(r0, r1, r2, out + 3 * i);
+  }
+#endif
+  for (; i < n; i++) {
     const u64 s0 = a[3 * i], s1 = a[3 * i + 1], s2 = a[3 * i + 2];
     const u64 o0 = b[3 * i], o1 = b[3 * i + 1], o2 = b[3 * i + 2];
     out[3 * i] = gl_sub(gl_mul(s0, o0),
