@@ -123,6 +123,14 @@ static inline __m512i glv_sub(__m512i a, __m512i b) {
                                _mm512_set1_epi64((long long)EPSILON));
 }
 
+static inline u64 glv_hsum_field(__m512i v) {
+  // field-sum of the 8 lanes: log-tree of glv_add across shuffles
+  __m512i s = glv_add(v, _mm512_shuffle_i64x2(v, v, 0x4E));  // 256 halves
+  s = glv_add(s, _mm512_shuffle_i64x2(s, s, 0xB1));          // 128 chunks
+  s = glv_add(s, _mm512_permutex_epi64(s, 0xB1));            // 64 pairs
+  return (u64)_mm_cvtsi128_si64(_mm512_castsi512_si128(s));
+}
+
 #endif  // __AVX512F__ && __AVX512DQ__
 
 
@@ -255,27 +263,56 @@ void gl_batch_inverse(const u64* in, u64* out, size_t n);
 void gl_lagrange_interpolate(const u64* dom, const u64* vals, size_t n,
                              u64* out) {
   if (n == 0) return;
-  // zerofier z = prod_i (x - dom[i]), degree n
+  // zerofier z = prod_i (x - dom[i]), degree n. Incremental update
+  // z_new[j] = z_old[j-1] - d*z_old[j], processed top-down so the
+  // shifted read never sees a written value; the inner sweep runs 8
+  // coefficients per AVX-512 step.
   std::vector<u64> z(n + 1, 0);
   z[0] = 1;
   for (size_t i = 0; i < n; i++) {
     const u64 d = dom[i];
-    u64 prev = 0;
-    for (size_t j = 0; j <= i + 1; j++) {
-      const u64 orig = z[j];
-      z[j] = gl_sub(prev, gl_mul(d, orig));
-      prev = orig;
+    size_t j = i + 1;
+#ifdef TIP5_AVX512
+    const __m512i dv = _mm512_set1_epi64((long long)d);
+    for (; j >= 8; j -= 8) {
+      const size_t base = j - 7;
+      const __m512i cur =
+          _mm512_loadu_si512((const void*)(z.data() + base));
+      const __m512i prev =
+          _mm512_loadu_si512((const void*)(z.data() + base - 1));
+      _mm512_storeu_si512((void*)(z.data() + base),
+                          glv_sub(prev, glv_mul(dv, cur)));
     }
+#endif
+    for (j++; j-- > 1;) z[j] = gl_sub(z[j - 1], gl_mul(d, z[j]));
+    z[0] = gl_sub(0, gl_mul(d, z[0]));
   }
-  // denominators w[i] = Z'(dom[i]) = prod_{j != i} (dom[i] - dom[j])
+  // denominators w[i] = Z'(dom[i]) = prod_{j != i} (dom[i] - dom[j]),
+  // evaluated as dz = Z' at each point by Horner
   std::vector<u64> dz(n);
   for (size_t j = 0; j < n; j++) {
     dz[j] = gl_mul(z[j + 1], (u64)((j + 1) % P));
   }
-  // Both per-point O(n) loops below are serial mul->add dependency chains;
-  // interleaving 4 points per pass hides the multiply latency (~2x).
+  // Per-point O(n) Horner chains: 16 points per pass (two zmm
+  // accumulator chains hide the multiply latency); scalar 4-interleave
+  // tail below.
   std::vector<u64> w(n);
   size_t i = 0;
+#ifdef TIP5_AVX512
+  for (; i + 16 <= n; i += 16) {
+    const __m512i dv0 = _mm512_loadu_si512((const void*)(dom + i));
+    const __m512i dv1 = _mm512_loadu_si512((const void*)(dom + i + 8));
+    __m512i a0 = _mm512_set1_epi64((long long)dz[n - 1]);
+    __m512i a1 = a0;
+    for (size_t j = n - 1; j-- > 0;) {
+      const __m512i t = _mm512_set1_epi64((long long)dz[j]);
+      a0 = glv_add(glv_mul(a0, dv0), t);
+      a1 = glv_add(glv_mul(a1, dv1), t);
+    }
+    _mm512_storeu_si512((void*)(w.data() + i), a0);
+    _mm512_storeu_si512((void*)(w.data() + i + 8), a1);
+  }
+#endif
   for (; i + 4 <= n; i += 4) {
     const u64 d0 = dom[i], d1 = dom[i + 1], d2 = dom[i + 2], d3 = dom[i + 3];
     u64 a0 = dz[n - 1], a1 = a0, a2 = a0, a3 = a0;
@@ -297,9 +334,30 @@ void gl_lagrange_interpolate(const u64* dom, const u64* vals, size_t n,
   std::vector<u64> w_inv(n);
   gl_batch_inverse(w.data(), w_inv.data(), n);
   w.swap(w_inv);
-  // accumulate vals[i]/w[i] * Z/(x - dom[i]) via synthetic division
+  // accumulate vals[i]/w[i] * Z/(x - dom[i]) via synthetic division.
+  // AVX path: 8 points per pass; lane-parallel contributions accumulate
+  // into a vector row per coefficient (out8), horizontally field-summed
+  // once at the end — no per-step reduction.
   for (size_t j = 0; j < n; j++) out[j] = 0;
   i = 0;
+#ifdef TIP5_AVX512
+  if (n >= 8) {
+    std::vector<__m512i> out8(n, _mm512_setzero_si512());
+    for (; i + 8 <= n; i += 8) {
+      const __m512i cv =
+          glv_mul(_mm512_loadu_si512((const void*)(vals + i)),
+                  _mm512_loadu_si512((const void*)(w.data() + i)));
+      const __m512i dv = _mm512_loadu_si512((const void*)(dom + i));
+      __m512i q = _mm512_set1_epi64((long long)z[n]);
+      for (size_t j = n; j-- > 0;) {
+        out8[j] = glv_add(out8[j], glv_mul(cv, q));
+        if (j) q = glv_add(_mm512_set1_epi64((long long)z[j]),
+                           glv_mul(dv, q));
+      }
+    }
+    for (size_t j = 0; j < n; j++) out[j] = glv_hsum_field(out8[j]);
+  }
+#endif
   for (; i + 4 <= n; i += 4) {
     const u64 c0 = gl_mul(vals[i], w[i]);
     const u64 c1 = gl_mul(vals[i + 1], w[i + 1]);

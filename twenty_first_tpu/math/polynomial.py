@@ -1376,15 +1376,16 @@ class Polynomial:
     @staticmethod
     def fast_interpolate(domain: Sequence, values: Sequence) -> "Polynomial":
         """Recursive half-domain interpolation with batch-inverted offsets
-        (polynomial.rs:1611-1701). Below 2^11 points a single base-field
+        (polynomial.rs:1611-1701). Below 2^12 points a single base-field
         pair routes through the native O(n^2) Lagrange instead — one C++
-        call beats the batched tree's python dispatch overhead up to the
-        measured crossover (2^9: 10.7 ms vs 24.5; 2^11: 155 vs 177;
-        2^12: 650 vs 390 — the tree wins above)."""
+        call (AVX-512 chains since round 4) beats the batched tree's
+        python dispatch overhead up to the measured crossover
+        (2^11: 17 ms vs 144; 2^12: 69 vs 174; 2^13: 276 vs 208 — the
+        tree wins above)."""
         if len(domain) != len(values) or len(domain) == 0:
             raise PolynomialError(
                 "interpolation needs a nonempty domain matching the values")
-        if len(domain) <= (1 << 11):
+        if len(domain) <= (1 << 12):
             pts, px = _to_field_array(domain)
             vals, vx = _to_field_array(values)
             if not (px or vx) and _native_host_on():
