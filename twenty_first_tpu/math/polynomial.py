@@ -1164,7 +1164,13 @@ class Polynomial:
         Small products use one outer-product + anti-diagonal fold; large
         ones a BATCHED NTT convolution (one transform for all m rows)."""
         m, la, lb = a.shape[0], a.shape[1], b.shape[1]
-        if m * la * lb <= (1 << 20) or x:
+        # With the AVX-512 native row-NTT the batched transform beats the
+        # schoolbook outer-product at almost every tree shape; schoolbook
+        # survives only for short rows or tiny totals (measured sweep:
+        # L=9 school wins to m=1024, L=17 NTT wins from m~100, single
+        # short rows school). Old element-op cutoff (2^20) left 20x on
+        # the table at e.g. (m=32, L=129): 21.1 vs 0.9 ms.
+        if min(la, lb) <= 12 or m * la * lb <= (1 << 12) or x:
             if not x:
                 return _batch_antidiag_sum(gfn.mul(a[:, :, None],
                                                    b[:, None, :]), False)
