@@ -1006,12 +1006,29 @@ void gl_horner_points(const u64* coeffs, size_t k, const u64* pts,
   // 4 interleaved 8-lane chains per thread iteration (32 points): the
   // mul->add recurrence is latency-bound per chain (~20+ cycles), so
   // independent chains are what buy throughput, not wider vectors.
-  const size_t W = 4 * L8;
+  // 4 chains measured best for the AVX path too (8 chains: 54.6 vs
+  // 51.6 ms at 2^18x2^10 — the vpmuludq ports saturate before latency)
+  const size_t NCH = 4;
+  const size_t W = NCH * L8;
   const size_t big = m / W;
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static) if (big * k >= (size_t{1} << 16))
 #endif
   for (size_t blk = 0; blk < big; blk++) {
+#ifdef TIP5_AVX512
+    __m512i xv[NCH], av[NCH];
+    for (size_t v = 0; v < NCH; v++) {
+      xv[v] = _mm512_loadu_si512((const void*)(pts + blk * W + v * L8));
+      av[v] = _mm512_set1_epi64((long long)coeffs[k - 1]);
+    }
+    for (size_t j = k - 1; j-- > 0;) {
+      const __m512i c = _mm512_set1_epi64((long long)coeffs[j]);
+      for (size_t v = 0; v < NCH; v++)
+        av[v] = glv_add(glv_mul(av[v], xv[v]), c);
+    }
+    for (size_t v = 0; v < NCH; v++)
+      _mm512_storeu_si512((void*)(out + blk * W + v * L8), av[v]);
+#else
     u64 x[4][L8], acc[4][L8], c8[L8], t[4][L8];
     for (int v = 0; v < 4; v++) {
       for (int l = 0; l < L8; l++) {
@@ -1027,12 +1044,13 @@ void gl_horner_points(const u64* coeffs, size_t k, const u64* pts,
     }
     for (int v = 0; v < 4; v++)
       memcpy(out + blk * W + v * L8, acc[v], L8 * sizeof(u64));
+#endif
   }
   const size_t blocks = m / L8;
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static) if ((blocks - big * 4) * k >= (size_t{1} << 16))
+#pragma omp parallel for schedule(static) if ((blocks - big * NCH) * k >= (size_t{1} << 16))
 #endif
-  for (size_t blk = big * 4; blk < blocks; blk++) {
+  for (size_t blk = big * NCH; blk < blocks; blk++) {
     u64 x[L8], acc[L8], c8[L8], t[L8];
     for (int l = 0; l < L8; l++) {
       x[l] = pts[blk * L8 + l];
