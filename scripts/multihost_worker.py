@@ -103,7 +103,7 @@ from twenty_first_tpu.parallel.dist_mmr import (
     distributed_batch_append, distributed_peaks_from_leafs)
 from twenty_first_tpu.util_types.mmr.mmr_accumulator import MmrAccumulator
 
-mmr_log = min(LOG_N - 4, 18)
+mmr_log = max(2, min(LOG_N - 4, 18))  # clamp: small LOG_N smoke runs still get a valid (>=3 peak) MMR leg
 n_mmr = (1 << mmr_log) + (1 << max(mmr_log - 3, 1)) + 3  # >= 3 peaks
 mmr_leafs = rng.integers(0, P, size=(n_mmr, 5), dtype=np.uint64)
 t0 = time.perf_counter()

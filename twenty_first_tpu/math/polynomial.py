@@ -1170,7 +1170,12 @@ class Polynomial:
         # L=9 school wins to m=1024, L=17 NTT wins from m~100, single
         # short rows school). Old element-op cutoff (2^20) left 20x on
         # the table at e.g. (m=32, L=129): 21.1 vs 0.9 ms.
-        if min(la, lb) <= 12 or m * la * lb <= (1 << 12) or x:
+        # short-row schoolbook is capped by total element count so the
+        # (m, la, lb) outer product stays bounded (the measured win region
+        # ends around m~1024 for L=9 anyway; beyond it the batched NTT wins
+        # AND the materialization would grow without bound)
+        if (min(la, lb) <= 12 and m * la * lb <= (1 << 22)) \
+                or m * la * lb <= (1 << 12) or x:
             if not x:
                 return _batch_antidiag_sum(gfn.mul(a[:, :, None],
                                                    b[:, None, :]), False)

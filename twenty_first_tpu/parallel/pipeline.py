@@ -68,7 +68,6 @@ def trace_lde_commit(trace, expansion: int = 4,
     last-axis core (measured ~9x slower at (8, 2^22)).
     """
     from ..math.b_field_element import GENERATOR
-    from ..tip5.constants import STATE_SIZE
 
     import jax.numpy as jnp
 
@@ -128,6 +127,7 @@ def lde_scrambled_tables(n: int, expansion: int = 4, offset: int | None = None):
 
     import jax.numpy as jnp
 
+    assert expansion & (expansion - 1) == 0 and expansion > 0
     log_n = n.bit_length() - 1
     log_e = expansion.bit_length() - 1
     log_n1, log_n2 = ntt_mod._four_step_split(log_n)
@@ -169,6 +169,7 @@ def trace_lde_commit_scrambled(trace, expansion: int = 4, tables=None):
     lo, hi = trace
     w, n = lo.shape
     assert w <= 10 and n & (n - 1) == 0
+    assert expansion & (expansion - 1) == 0 and expansion > 0
     log_n = n.bit_length() - 1
     log_e = expansion.bit_length() - 1
     big_n = n * expansion
