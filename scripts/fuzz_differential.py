@@ -1,0 +1,191 @@
+"""Randomized differential fuzzer for the object API.
+
+The per-module parity suites pin the reference's fixed vectors and a
+handful of seeded cases; this harness sweeps RANDOM shapes/sizes across
+the dispatch boundaries (Lagrange vs tree interpolation, schoolbook vs
+NTT products, Horner vs remainder-tree evaluation, host vs device NTT,
+varlen sponge chunking, MMR batch ops vs the archival oracle) where a
+retuned cutoff could silently change values. Algebraic identities and
+independent slow oracles adjudicate; any mismatch prints a seeded repro
+line and exits nonzero.
+
+Usage: python scripts/fuzz_differential.py [seconds] [seed]
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from twenty_first_tpu.math import gf, ntt
+from twenty_first_tpu.math.b_field_element import P
+from twenty_first_tpu.math.polynomial import Polynomial
+from twenty_first_tpu.prelude import bfe, bfe_vec
+from twenty_first_tpu.tip5.tip5 import Tip5
+
+
+def _rand_poly(rng, max_len=600):
+    n = int(rng.integers(0, max_len))
+    if n == 0:
+        return Polynomial([])
+    arr = rng.integers(0, P, n, dtype=np.uint64)
+    if rng.random() < 0.3:
+        arr[-max(1, int(rng.integers(1, 4))):] = 0  # trailing zeros
+    return Polynomial.from_array(arr)
+
+
+def check_poly_mul(rng):
+    a, b = _rand_poly(rng), _rand_poly(rng)
+    fast = a.multiply(b)
+    slow = a.naive_multiply(b)
+    assert fast == slow, (a.degree(), b.degree())
+
+
+def check_divmod_identity(rng):
+    a, b = _rand_poly(rng), _rand_poly(rng, 80)
+    if b.is_zero():
+        return
+    q, r = a.divide(b)
+    assert q.multiply(b) + r == a, (a.degree(), b.degree())
+    assert r.degree() < b.degree()
+
+
+def check_interpolate_roundtrip(rng):
+    n = int(rng.integers(1, 260))
+    dom_vals = rng.permutation((1 << 32) + np.arange(4 * n, dtype=np.uint64))[:n]
+    vals = rng.integers(0, P, n, dtype=np.uint64)
+    domain = bfe_vec(dom_vals.tolist())
+    values = bfe_vec(vals.tolist())
+    p = Polynomial.fast_interpolate(domain, values)
+    assert p.degree() < n
+    got = p.batch_evaluate(domain)
+    assert got == values, n
+    if n <= 40:
+        assert p == Polynomial.lagrange_interpolate(domain, values), n
+
+
+def check_zerofier(rng):
+    n = int(rng.integers(1, 200))
+    dom_vals = rng.permutation(np.arange(1, 5 * n, dtype=np.uint64))[:n]
+    domain = bfe_vec(dom_vals.tolist())
+    z = Polynomial.zerofier(domain)
+    assert z.degree() == n
+    assert all(v.is_zero() for v in z.batch_evaluate(domain)), n
+    probe = bfe(int(rng.integers(0, P, dtype=np.uint64)))
+    while probe in domain:
+        probe = bfe(int(rng.integers(0, P, dtype=np.uint64)))
+    assert not z.evaluate(probe).is_zero(), n
+
+
+def check_ntt_roundtrip(rng):
+    log_n = int(rng.integers(0, 13))
+    rows = int(rng.integers(1, 5))
+    x = rng.integers(0, P, size=(rows, 1 << log_n), dtype=np.uint64)
+    fwd = ntt.ntt_values(x)
+    back = ntt.intt_values(fwd)
+    assert np.array_equal(back, x), (rows, log_n)
+    # host path agrees with the dispatch result
+    hostf = np.stack([ntt.ntt_host(r) for r in x])
+    assert np.array_equal(fwd, hostf), (rows, log_n)
+
+
+def check_tip5_varlen(rng):
+    n = int(rng.integers(0, 400))
+    vals = rng.integers(0, P, n, dtype=np.uint64)
+    got = Tip5.hash_varlen(bfe_vec(vals.tolist()))
+    # independent overwrite-mode sponge oracle on python ints
+    from tests.test_native import _python_permute
+
+    state = [0] * 16
+    padded = [int(v) for v in vals] + [1]
+    padded += [0] * ((-len(padded)) % 10)
+    for c in range(0, len(padded), 10):
+        state[:10] = padded[c: c + 10]
+        state = _python_permute(state)
+    assert [v.value() for v in got.values()] == state[:5], n
+
+
+def check_mmr_vs_archival(rng):
+    from twenty_first_tpu.util_types.mmr.archival_mmr import ArchivalMmr
+    from twenty_first_tpu.util_types.mmr.mmr_accumulator import MmrAccumulator
+    from twenty_first_tpu.tip5.digest import Digest
+
+    n = int(rng.integers(1, 120))
+    leafs = [Digest(rng.integers(0, P, 5, dtype=np.uint64).tolist())
+             for _ in range(n)]
+    arch = ArchivalMmr.new_from_leafs(leafs)
+    acc = MmrAccumulator.new_from_leafs(leafs)
+    assert acc.peaks() == arch.peaks(), n
+    assert acc.num_leafs() == arch.num_leafs() == n
+    extra = Digest(rng.integers(0, P, 5, dtype=np.uint64).tolist())
+    acc.append(extra)
+    arch.append(extra)
+    assert acc.peaks() == arch.peaks(), n
+
+
+def check_codec_roundtrip(rng):
+    from twenty_first_tpu.math.bfield_codec import (
+        BFE, DIGEST, U64, Opt, PolyCodec, Tup, Vec_)
+    from twenty_first_tpu.tip5.digest import Digest
+
+    n = int(rng.integers(0, 30))
+    # randomly nested wire shape: Vec<(u64, Option<Vec<bfe>>, Digest)>
+    spec = Vec_(Tup(U64, Opt(Vec_(BFE)), DIGEST))
+    value = []
+    for _ in range(n):
+        k = int(rng.integers(0, 8))
+        inner = ([bfe(int(v)) for v in rng.integers(0, P, k, dtype=np.uint64)]
+                 if rng.random() < 0.7 else None)
+        value.append((int(rng.integers(0, 1 << 64, dtype=np.uint64)), inner,
+                      Digest(rng.integers(0, P, 5, dtype=np.uint64).tolist())))
+    enc = spec.encode(value)
+    assert spec.decode(enc) == value, n
+    # polynomials reject trailing-zero wire forms; roundtrip a random one
+    p = _rand_poly(rng, 40)
+    pc = PolyCodec(BFE)
+    assert pc.decode(pc.encode(p)) == p
+
+
+CHECKS = [check_poly_mul, check_divmod_identity, check_interpolate_roundtrip,
+          check_zerofier, check_ntt_roundtrip, check_tip5_varlen,
+          check_mmr_vs_archival, check_codec_roundtrip]
+
+
+def main():
+    budget = float(sys.argv[1]) if len(sys.argv) > 1 else 120.0
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else int.from_bytes(
+        os.urandom(4), "little")
+    print(f"fuzz: budget={budget}s seed={seed}")
+    rng = np.random.default_rng(seed)
+    t0 = time.time()
+    counts = {c.__name__: 0 for c in CHECKS}
+    it = 0
+    while time.time() - t0 < budget:
+        check = CHECKS[it % len(CHECKS)]
+        sub = int(rng.integers(0, 1 << 32))
+        try:
+            check(np.random.default_rng(sub))
+        except AssertionError as e:
+            print(f"MISMATCH in {check.__name__}: sub-seed {sub}: {e}")
+            print(f"repro: rng=np.random.default_rng({sub}); "
+                  f"{check.__name__}(rng)")
+            sys.exit(1)
+        counts[check.__name__] += 1
+        it += 1
+    total = sum(counts.values())
+    print(f"clean: {total} checks in {time.time()-t0:.0f}s")
+    for k, v in counts.items():
+        print(f"  {k}: {v}")
+
+
+if __name__ == "__main__":
+    main()
