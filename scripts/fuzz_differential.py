@@ -103,7 +103,13 @@ def check_tip5_varlen(rng):
     vals = rng.integers(0, P, n, dtype=np.uint64)
     got = Tip5.hash_varlen(bfe_vec(vals.tolist()))
     # independent overwrite-mode sponge oracle on python ints
-    from tests.test_native import _python_permute
+    from twenty_first_tpu.tip5.tip5 import _round_values
+
+    def _python_permute(row):
+        cur = [int(v) for v in row]
+        for r in range(5):
+            cur = _round_values(cur, r)
+        return cur
 
     state = [0] * 16
     padded = [int(v) for v in vals] + [1]
