@@ -161,9 +161,74 @@ def check_codec_roundtrip(rng):
     assert pc.decode(pc.encode(p)) == p
 
 
+def check_merkle_tamper(rng):
+    """Random single-digest corruption anywhere in a proof must make
+    verify return False — never raise an unrelated exception."""
+    from twenty_first_tpu.tip5.digest import Digest
+    from twenty_first_tpu.util_types.merkle_tree import MerkleTree
+
+    h = int(rng.integers(1, 7))
+    n = 1 << h
+    leafs = [Digest(rng.integers(0, P, 5, dtype=np.uint64).tolist())
+             for _ in range(n)]
+    tree = MerkleTree.new(leafs)
+    k = int(rng.integers(1, min(n, 6) + 1))
+    idxs = sorted(set(int(i) for i in rng.integers(0, n, k)))
+    proof = tree.inclusion_proof_for_leaf_indices(idxs)
+    assert proof.verify(tree.root()), (h, idxs)
+    limb = int(rng.integers(0, 5))
+    delta = int(rng.integers(1, P, dtype=np.uint64))
+    if proof.authentication_structure and rng.random() < 0.5:
+        j = int(rng.integers(0, len(proof.authentication_structure)))
+        vals = list(proof.authentication_structure[j].values())
+        vals[limb] = bfe((vals[limb].value() + delta) % P)
+        proof.authentication_structure[j] = Digest(vals)
+    else:
+        j = int(rng.integers(0, len(proof.indexed_leafs)))
+        idx, leaf = proof.indexed_leafs[j]
+        vals = list(leaf.values())
+        vals[limb] = bfe((vals[limb].value() + delta) % P)
+        proof.indexed_leafs[j] = (idx, Digest(vals))
+    assert not proof.verify(tree.root()), (h, idxs)
+
+
+def check_codec_decode_robust(rng):
+    """Random element sequences fed to decode either roundtrip exactly
+    or raise BFieldCodecError — no IndexError/ValueError/crash."""
+    from twenty_first_tpu.errors import BFieldCodecError
+    from twenty_first_tpu.math.bfield_codec import (
+        BFE, U64, Opt, Tup, Vec_)
+
+    spec = Vec_(Tup(U64, Opt(Vec_(BFE))))
+    n = int(rng.integers(0, 25))
+    seq = [bfe(int(v)) for v in rng.integers(0, P, n, dtype=np.uint64)]
+    try:
+        value = spec.decode(seq)
+    except BFieldCodecError:
+        return
+    assert spec.encode(value) == seq, n
+
+
+def check_kem_corruption_rejected(rng):
+    from twenty_first_tpu.math import lattice
+
+    r1 = rng.bytes(32)
+    sk, pk = lattice.keygen(r1)
+    key, ct = lattice.enc(pk, rng.bytes(32))
+    assert lattice.dec(sk, ct) == key
+    # flip one random wire element of the 320-bfe ciphertext
+    wire = ct.to_bfes()
+    j = int(rng.integers(0, len(wire)))
+    wire[j] = bfe((wire[j].value() + 1) % P)
+    bad = lattice.Ciphertext.from_bfes(wire)
+    assert lattice.dec(sk, bad) != key
+
+
 CHECKS = [check_poly_mul, check_divmod_identity, check_interpolate_roundtrip,
           check_zerofier, check_ntt_roundtrip, check_tip5_varlen,
-          check_mmr_vs_archival, check_codec_roundtrip]
+          check_mmr_vs_archival, check_codec_roundtrip,
+          check_merkle_tamper, check_codec_decode_robust,
+          check_kem_corruption_rejected]
 
 
 def main():
