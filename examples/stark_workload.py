@@ -12,13 +12,13 @@ everything printed is verified in-process. The same flow at test scale
 is pinned in tests/test_e2e_stark_workload.py.
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, __import__("os").path.dirname(
-    __import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from twenty_first_tpu.math.b_field_element import P, bfe
 from twenty_first_tpu.math.polynomial import Polynomial
