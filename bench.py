@@ -369,15 +369,39 @@ def main():
         # measured with (scripts/tip5_w64_ab.py): k 2 vs 18, 8 rounds,
         # median of differences
         t_perm = timed_chain(perm_chain, (slo, shi), 2, 18, reps=8)
-        extras["tip5_permutations_per_s"] = batch / t_perm
+        # hash_10 / hash_pair report the FUSED-pipeline rate (XLA path —
+        # what Merkle/LDE actually sustain); the standalone permutation row
+        # reports the permutation_batch dispatch (lane-dense Pallas kernel
+        # on TPU: 34.0M vs 23.1M perms/s standalone, loses fused — the
+        # reference's parallel bench is the standalone shape, tip5.rs)
         extras["tip5_hash_10_batch_65536_s"] = t_perm  # 1 permutation each
         extras["tip5_hash_pair_per_s"] = batch / t_perm
+        t_standalone = t_perm
+        if jax.default_backend() == "tpu" and \
+                os.environ.get("TWENTY_FIRST_TPU_DENSE_PERM", "1") != "0":
+            @functools.partial(jax.jit, static_argnames=("k",))
+            def perm_chain_standalone(a, b, k):
+                def body(i, st):
+                    return tip5_dev.permutation_batch(st)
+                o = jax.lax.fori_loop(0, k, body, (a, b))
+                return (jnp.sum(o[0], dtype=jnp.uint32)
+                        + jnp.sum(o[1], dtype=jnp.uint32))
+
+            _p("tip5 standalone (dense dispatch) start")
+            try:
+                t_standalone = timed_chain(perm_chain_standalone,
+                                           (slo, shi), 2, 18, reps=8)
+            except Exception as exc:  # Mosaic compile regression: report
+                extras["tip5_dense_dispatch"] = \
+                    f"skipped:{type(exc).__name__}"
+                t_standalone = t_perm
+        extras["tip5_permutations_per_s"] = batch / t_standalone
         extras["roofline_tip5"] = {
             # static count from the kernel structure (DESIGN.md §4): per
             # round ~1.4k u32 ops of pow7 (12 words x 4 gl_mul), ~0.5k of
             # byte S-box, ~2.5k of digit-plane MDS + reduction; x5 rounds
             "u32_ops_per_perm_est": 42000,
-            "achieved_u32_ops_per_s": 42000 * batch / t_perm,
+            "achieved_u32_ops_per_s": 42000 * batch / t_standalone,
             "vpu_practical_u32_ops_per_s": 1.5e12,
         }
 

@@ -7,7 +7,11 @@ import os
 # In this environment jax is pre-imported by a sitecustomize with
 # JAX_PLATFORMS=axon, so setting the env var is not enough — the config must
 # be updated on the already-imported module *before* the first backend use.
-os.environ["JAX_PLATFORMS"] = "cpu"
+_HW = os.environ.get("TWENTY_FIRST_TPU_PALLAS_HW_TEST") == "1"
+if not _HW:
+    # (the opt-in hardware bit-exactness test must keep the real backend —
+    # forcing CPU here would silently turn it into an interpreter run)
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,7 +20,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _HW:
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the chained-permutation graphs (Merkle
 # commits, LDE pipeline) take minutes to compile the first time; cached

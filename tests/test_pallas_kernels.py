@@ -61,11 +61,27 @@ def test_pallas_ntt_matches_xla():
         ntt_pallas.pl.pallas_call = orig
 
 
+def test_dense_dispatch_fallback_on_cpu():
+    """permutation_batch must fall back to the XLA path off-TPU (and for
+    unaligned batches anywhere) — bit-exact with permutation."""
+    from twenty_first_tpu.math import gf
+
+    for b in (1 << 12, 24):  # aligned and unaligned
+        states = RNG.integers(0, P, size=(b, 16), dtype=np.uint64)
+        lo, hi = gf.to_limbs(states)
+        got = gf.from_limbs(jnp_perm.permutation_batch((lo, hi)))
+        want = jnp_perm.permutation_values(states)
+        np.testing.assert_array_equal(got, want)
+
+
 def test_pallas_kernels_bit_exact_on_tpu_hardware():
-    """Full-compile bit-exactness of both Pallas Tip5 kernels on real TPU
+    """Full-compile bit-exactness of the Pallas Tip5 kernels on real TPU
     hardware. Opt-in (TWENTY_FIRST_TPU_PALLAS_HW_TEST=1): CI runs the CPU
-    backend, and the axon tunnel's chipless AOT compile helper cannot
-    build Mosaic kernels — run directly on a TPU VM."""
+    backend. The grid-free lane-dense kernel (the promoted standalone
+    path) always runs here; the grid-bearing variants need a real TPU VM
+    — this environment's remote-compile helper 500s on ANY pallas_call
+    with a grid (bisected 2026-08-20) — so they sit behind
+    TWENTY_FIRST_TPU_PALLAS_HW_GRID=1."""
     import os
 
     import pytest
@@ -74,7 +90,10 @@ def test_pallas_kernels_bit_exact_on_tpu_hardware():
         pytest.skip("hardware-only: set TWENTY_FIRST_TPU_PALLAS_HW_TEST=1")
     states = RNG.integers(0, P, size=(8 * 512, 16), dtype=np.uint64)
     want = jnp_perm.permutation_values(states)
-    got = tip5_pallas.permutation_values(states, tile=2048)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
     dense = tip5_pallas.permutation_dense_values(states)
     np.testing.assert_array_equal(np.asarray(dense), np.asarray(want))
+    batch = jnp_perm.permutation_batch_values(states)
+    np.testing.assert_array_equal(np.asarray(batch), np.asarray(want))
+    if os.environ.get("TWENTY_FIRST_TPU_PALLAS_HW_GRID") == "1":
+        got = tip5_pallas.permutation_values(states, tile=2048)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -6,16 +6,23 @@ the XLA-fused production kernels, measured on TPU v5e, and found SLOWER
 (numbers in DESIGN.md §5). They are kept in-tree as frozen experiments:
 
   * `tip5_pallas` — narrow (B, 16) and lane-dense (8 states/row) Pallas Tip5
-    permutations (3.9M / 29M perms/s vs ~24M for the XLA path's interleaved
-    median). The lane-dense kernel WINS standalone (+20%); it is not
-    promoted because the library's hot Tip5 sites are fused pipelines
-    (Merkle layers, LDE leaf hashing) where its (8,16)-packed layout needs
-    boundary transposes into every neighbor. That fused A/B (the decision
-    rule: promote iff it wins inside a 2^20 Merkle commit) could NOT be
-    measured: this environment's tunnel rejects all Mosaic AOT compiles
-    (HTTP 500, reported as "skipped:mosaic-aot-tunnel" by bench.py every
-    run), so the standalone numbers predate the tunnel regression and the
-    fused A/B is recorded as BLOCKED, not decided — see DESIGN.md §5.
+    permutations. The lane-dense kernel is PROMOTED for standalone batches
+    (the one exception to "nothing here is on a default path"):
+    `tip5.permutation.permutation_batch` dispatches to
+    `permutation_dense_nogrid` on TPU — measured **34.0M perms/s vs 23.1M**
+    for the XLA path (interleaved medians, k 2 vs 18, batch 2^16, v5e,
+    including the pack/unpack transposes each call). The FUSED pipelines
+    (Merkle layers, LDE leaf hashing, hash flows) stay on the XLA path:
+    the decision-rule A/B (scripts/ab_dense_merkle.py) measured the dense
+    swap LOSING inside a 2^20 Merkle commit, **51.2 vs 45.2 ms** median —
+    the (8,16)-packed layout's boundary transposes into every fused
+    neighbor eat the standalone win, exactly as predicted when the kernel
+    was frozen. Tunnel note: this environment's remote-compile helper
+    500s on any pallas_call carrying a `grid=` (bisected 2026-08-20:
+    trivial grid-free kernels with gf.mul chains and pltpu.roll compile
+    and run bit-exact; grid=(4,) on a trivial kernel fails), hence the
+    grid-free `permutation_dense_nogrid` (outer lax.map over single-block
+    calls); the original grid variants remain for real TPU VMs.
   * `tip5_mxu` — exact bf16 block-circulant MDS matmuls on the MXU
     (24M perms/s; the u32<->bf16 boundaries cost more HBM traffic than the
     saved VPU ops).

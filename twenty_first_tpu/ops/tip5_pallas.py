@@ -281,9 +281,60 @@ def permutation_dense(lo, hi, tile: int = 512, interpret: bool = False):
     return _deinterleave(olo), _deinterleave(ohi)
 
 
+def _dense_rc_lanes():
+    rc_lo = np.ascontiguousarray(
+        _RC_LO[:, :, None].repeat(8, axis=2).reshape(NUM_ROUNDS, 128))
+    rc_hi = np.ascontiguousarray(
+        _RC_HI[:, :, None].repeat(8, axis=2).reshape(NUM_ROUNDS, 128))
+    return jnp.asarray(rc_lo), jnp.asarray(rc_hi)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def permutation_dense_nogrid(lo, hi, tile: int = 512,
+                             interpret: bool = False):
+    """Lane-dense fused permutation without a Pallas grid.
+
+    This environment's remote-compile helper 500s on ANY pallas_call
+    carrying a `grid=` (bisected 2026-08-20: trivial/grid-free kernels —
+    including gf.mul chains and pltpu.roll — compile and run bit-exact;
+    adding grid=(4,) to the same trivial kernel fails), so the original
+    `permutation_dense` above cannot build here. Same kernel, tiled by an
+    outer lax.map over grid-free single-block calls instead: one compiled
+    block executable, sequential-grid semantics. (B, 16) planes,
+    B % (8*tile) == 0."""
+    b = lo.shape[0]
+    assert b % (8 * tile) == 0, f"batch {b} must be divisible by {8 * tile}"
+    ilo = _interleave(lo)
+    ihi = _interleave(hi)
+    rows = ilo.shape[0]
+    rc_lo, rc_hi = _dense_rc_lanes()
+
+    def one(args):
+        tlo, thi = args
+        return pl.pallas_call(
+            _dense_kernel,
+            out_shape=[jax.ShapeDtypeStruct((tile, 128), jnp.uint32)] * 2,
+            interpret=interpret,
+        )(tlo, thi, rc_lo, rc_hi)
+
+    n_tiles = rows // tile
+    if n_tiles == 1:
+        olo, ohi = one((ilo, ihi))
+    else:
+        olo, ohi = jax.lax.map(
+            one, (ilo.reshape(n_tiles, tile, 128),
+                  ihi.reshape(n_tiles, tile, 128)))
+        olo = olo.reshape(rows, 128)
+        ohi = ohi.reshape(rows, 128)
+    return _deinterleave(olo), _deinterleave(ohi)
+
+
 def permutation_dense_values(states: np.ndarray, tile: int = 512,
                              interpret: bool = False) -> np.ndarray:
+    """Host-convenience over the grid-free tiling (the variant this
+    environment's tunnel can compile; the grid version is
+    `permutation_dense`)."""
     states = np.asarray(states, dtype=np.uint64)
     lo, hi = gf.to_limbs(states)
-    out = permutation_dense(lo, hi, tile=tile, interpret=interpret)
+    out = permutation_dense_nogrid(lo, hi, tile=tile, interpret=interpret)
     return gf.from_limbs(out)

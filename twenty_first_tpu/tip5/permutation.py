@@ -164,6 +164,39 @@ def permutation(state):
     return gf.canon(state)
 
 
+# Standalone-batch dispatch threshold: the lane-dense Pallas kernel needs
+# B % (8 * 512) == 0 (one (512, 128) block per lax.map step).
+_DENSE_MIN_BATCH = 1 << 12
+
+
+def permutation_batch(state):
+    """STANDALONE batched permutation: (B, 16) limb planes -> permuted.
+
+    Dispatches to the lane-dense Pallas kernel
+    (ops.tip5_pallas.permutation_dense_nogrid) on the TPU backend for
+    aligned batches — measured 34.0M perms/s vs 23.1M for the XLA path
+    (interleaved medians, k 2 vs 18, batch 2^16, v5e, incl. the
+    (8,16)-pack/unpack transposes each call). The FUSED pipelines (hash
+    flows, Merkle layers, LDE leaf hashing) deliberately keep calling
+    `permutation`: inside a 2^20 Merkle commit the packed layout's
+    boundary transposes LOSE (51.2 vs 45.2 ms median, DESIGN.md §5) —
+    this is the reference's parallel-permutation workload
+    (benches/tip5.rs parallel row), not a building block for fusion.
+    Opt-out: TWENTY_FIRST_TPU_DENSE_PERM=0.
+    """
+    import os
+
+    lo, hi = state
+    if (lo.ndim == 2
+            and lo.shape[0] % _DENSE_MIN_BATCH == 0
+            and jax.default_backend() == "tpu"
+            and os.environ.get("TWENTY_FIRST_TPU_DENSE_PERM", "1") != "0"):
+        from ..ops.tip5_pallas import permutation_dense_nogrid
+
+        return permutation_dense_nogrid(lo, hi)
+    return permutation(state)
+
+
 def trace(state):
     """Permutation trace: (1 + NUM_ROUNDS) states, stacked on a new axis -2.
 
@@ -374,8 +407,20 @@ def hash_varlen_ragged(inputs) -> np.ndarray:
 
 
 def permutation_values(states) -> np.ndarray:
-    """Host-convenience: uint64 (..., 16) -> permuted uint64 (..., 16)."""
+    """Host-convenience: uint64 (..., 16) -> permuted uint64 (..., 16).
+
+    Always the XLA path (tests and the bench's Pallas smoke use this as
+    the oracle); the perf entry for standalone batches is
+    `permutation_batch_values`."""
     out = jax.jit(permutation)(gf.to_limbs(np.asarray(states, dtype=np.uint64)))
+    return gf.from_limbs(out)
+
+
+def permutation_batch_values(states) -> np.ndarray:
+    """Host-convenience over `permutation_batch` (lane-dense Pallas
+    dispatch on TPU for aligned 2-D standalone batches)."""
+    out = jax.jit(permutation_batch)(
+        gf.to_limbs(np.asarray(states, dtype=np.uint64)))
     return gf.from_limbs(out)
 
 
