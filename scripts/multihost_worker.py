@@ -72,7 +72,7 @@ hi = shard_host_array(mesh, (None, "shard"),
                       (x >> np.uint64(32)).astype(np.uint32))
 
 # -- distributed NTT, bit-exact vs host oracle on every local shard --------
-run = dist_ntt._make_distributed_ntt(mesh, LOG_N, False, False)
+run = dist_ntt._make_distributed_ntt(mesh, LOG_N, False, False, None)
 tw = dist_ntt._twiddle_device(mesh, LOG_N, False)
 t0 = time.perf_counter()
 zlo, zhi = run(lo, hi, tw[0], tw[1])
@@ -154,8 +154,11 @@ if PID == 0:
     for i in range(NPROC):
         ct_i = lattice.Ciphertext.from_bytes(all_cts[i].tobytes())
         dec_i = lattice.dec(sk, ct_i)
+        # dec returns None on FO rejection — check BEFORE hashing, or the
+        # intended diagnostic assert is shadowed by a TypeError
+        assert dec_i is not None, f"KEM decapsulation rejected for process {i}"
         fp_i = np.frombuffer(hashlib.sha3_256(dec_i).digest(), dtype=np.uint8)
-        assert dec_i is not None and np.array_equal(fp_i, all_fps[i]), \
+        assert np.array_equal(fp_i, all_fps[i]), \
             f"KEM decapsulation mismatch for process {i}"
 print(f"[{PID}] cross-process KEM exchange ok", flush=True)
 

@@ -38,7 +38,9 @@ def _chunk_root(arr: np.ndarray, mesh) -> Digest:
     if n == 1:
         return Digest.from_array(arr[0])
     d = mesh.shape[AXIS] if mesh is not None else 1
-    if mesh is not None and n >= max(d, 2):
+    # chunk sizes are powers of two; a non-power-of-two mesh axis (e.g. 3
+    # processes) cannot divide them — fall back to the host frugal root
+    if mesh is not None and n >= max(d, 2) and n % d == 0:
         log_n = n.bit_length() - 1
         lo, hi = gf.to_limbs(np.ascontiguousarray(arr))
         glo = shard_host_array(mesh, (AXIS, None), lo)

@@ -182,12 +182,16 @@ def permutation_batch(state):
     boundary transposes LOSE (51.2 vs 45.2 ms median, DESIGN.md §5) —
     this is the reference's parallel-permutation workload
     (benches/tip5.rs parallel row), not a building block for fusion.
-    Opt-out: TWENTY_FIRST_TPU_DENSE_PERM=0.
+    Opt-out: TWENTY_FIRST_TPU_DENSE_PERM=0. NOTE: the dispatch decision
+    (backend + env var) is taken at TRACE time; under jax.jit it is baked
+    into the cached trace for each shape, so set the env var before the
+    first call (toggling it afterwards does not retrace).
     """
     import os
 
     lo, hi = state
     if (lo.ndim == 2
+            and lo.shape[0] > 0
             and lo.shape[0] % _DENSE_MIN_BATCH == 0
             and jax.default_backend() == "tpu"
             and os.environ.get("TWENTY_FIRST_TPU_DENSE_PERM", "1") != "0"):
