@@ -173,7 +173,27 @@ def main():
         skipped_profile.extend(names)
         return False
 
-    def timed_chain(fn, args, k_lo, k_hi, reps=3):
+    # Per-row physical lower bounds (round-4 weak item #2: the interleaved
+    # difference estimator once emitted xfe_ntt_2^18_s = 49 µs, below the
+    # repo's OWN roofline floor, and the artifact shipped it). Floors come
+    # from the same models the artifact documents (roofline_ntt /
+    # roofline_tip5): HBM-materialization-bound for NTT plans, VPU-op-bound
+    # for Tip5-dominated rows — scaled by 0.7 so a genuinely fast kernel
+    # near the model floor is never falsely tagged. A reading below its
+    # floor is replaced by the documented upper-bound estimate and the row
+    # is tagged `suspect:below-floor`; the floors used are committed in
+    # extras["floors"] so CI can audit the artifact.
+    _HBM_GBPS = 819e9      # v5e
+    _VPU_U32_OPS = 1.5e12  # practical u32 op rate (roofline_tip5)
+    floors = {}
+
+    def ntt_floor(n_elems, mats=14):
+        return 0.7 * mats * 16 * n_elems / _HBM_GBPS
+
+    def tip5_floor(num_perms):
+        return 0.7 * 42000 * num_perms / _VPU_U32_OPS
+
+    def timed_chain(fn, args, k_lo, k_hi, reps=3, floor=None, row=None):
         """Median over reps of (t(k_hi)-t(k_lo))/(k_hi-k_lo), interleaved.
 
         Tunnel dispatch noise can exceed the device time of cheap kernels,
@@ -190,8 +210,8 @@ def main():
         noise-dependent (the round-3/4 driver overflows). The per-call
         dispatch+readback jitter is small and stable (measured 26±1 ms),
         so the configured spreads already dominate it; if a difference
-        still comes out <= 0, the upper bound is reported instead of
-        compiling anything new."""
+        still comes out <= 0 — or below the row's physical floor — the
+        upper bound is reported instead of compiling anything new."""
         for k in (k_lo, k_hi):  # the ONLY two variants this row ever runs
             int(fn(*args, k=k))
         diffs, highs = [], []
@@ -207,8 +227,17 @@ def main():
         diffs.sort()
         highs.sort()
         est = diffs[len(diffs) // 2]
+        upper = highs[len(highs) // 2] / k_hi
         if est <= 0:
-            est = highs[len(highs) // 2] / k_hi
+            est = upper
+        if floor is not None and row is not None:
+            floors[row] = floor
+            if est < floor:
+                extras[f"{row}_note"] = (
+                    f"suspect:below-floor (diff-est {est:.3g}s < physical "
+                    f"floor {floor:.3g}s; reporting the upper-bound "
+                    f"estimate {upper:.3g}s instead)")
+                est = upper
         return est
 
     def timed_host(fn, reps=3):
@@ -242,7 +271,7 @@ def main():
     # longer runs settle at ~9.8 ms — the first interleaved rounds after a
     # fresh claim run slow; more rounds let the median reach steady state.
     t_ntt = timed_chain(ntt_chain, (lo, hi, diag[0], diag[1]), 1, 3,
-                        reps=6)
+                        reps=6, floor=ntt_floor(n), row=f"ntt_2^{log_n}_s")
     ntt_elems_per_s = n / t_ntt
     extras[f"ntt_2^{log_n}_s"] = t_ntt
 
@@ -282,7 +311,9 @@ def main():
                     + jnp.sum(o[1], dtype=jnp.uint32))
 
         _p("xfe ntt start")
-        t_xntt = timed_chain(xntt_chain, (xlo, xhi, xdiag[0], xdiag[1]), 1, 9)
+        t_xntt = timed_chain(xntt_chain, (xlo, xhi, xdiag[0], xdiag[1]), 1, 9,
+                             floor=ntt_floor(3 << xlog),
+                             row="xfe_ntt_2^18_s")
         extras["xfe_ntt_2^18_s"] = t_xntt
 
     # --- device batch inversion 2^20 (benches/inverses.rs) ------------------
@@ -368,7 +399,9 @@ def main():
         # the k-spread and estimator behind DESIGN.md §4's sustained figure
         # measured with (scripts/tip5_w64_ab.py): k 2 vs 18, 8 rounds,
         # median of differences
-        t_perm = timed_chain(perm_chain, (slo, shi), 2, 18, reps=8)
+        t_perm = timed_chain(perm_chain, (slo, shi), 2, 18, reps=8,
+                             floor=tip5_floor(batch),
+                             row="tip5_hash_10_batch_65536_s")
         # hash_10 / hash_pair report the FUSED-pipeline rate (XLA path —
         # what Merkle/LDE actually sustain); the standalone permutation row
         # reports the permutation_batch dispatch (lane-dense Pallas kernel
@@ -390,11 +423,14 @@ def main():
             _p("tip5 standalone (dense dispatch) start")
             try:
                 t_standalone = timed_chain(perm_chain_standalone,
-                                           (slo, shi), 2, 18, reps=8)
+                                           (slo, shi), 2, 18, reps=8,
+                                           floor=tip5_floor(batch),
+                                           row="tip5_permutation_batch_2^16_s")
             except Exception as exc:  # Mosaic compile regression: report
                 extras["tip5_dense_dispatch"] = \
                     f"skipped:{type(exc).__name__}"
                 t_standalone = t_perm
+        extras["tip5_permutation_batch_2^16_s"] = t_standalone
         extras["tip5_permutations_per_s"] = batch / t_standalone
         extras["roofline_tip5"] = {
             # static count from the kernel structure (DESIGN.md §4): per
@@ -427,7 +463,10 @@ def main():
             return o[0] + o[1]
 
         _p("tip5 varlen start")
-        t_varlen = timed_chain(varlen_chain, (vlo, vhi), 1, 9)
+        t_varlen = timed_chain(varlen_chain, (vlo, vhi), 1, 9,
+                               floor=tip5_floor(rows * 1640),
+                               row="tip5_hash_varlen_16386_batch_s")
+        extras["tip5_hash_varlen_16386_batch_s"] = t_varlen
         extras["tip5_hash_varlen_16386_s"] = t_varlen / rows
 
     # ======================================================================
@@ -460,7 +499,9 @@ def main():
                 return o[0] + o[1]
 
             _p(f"merkle {height} start")
-            t_merkle = timed_chain(merkle_chain, (llo, lhi), 1, 5, reps=3)
+            t_merkle = timed_chain(merkle_chain, (llo, lhi), 1, 5, reps=3,
+                                   floor=tip5_floor(1 << height),
+                                   row=f"merkle_2^{height}_commit_s")
             extras[f"merkle_2^{height}_commit_s"] = t_merkle
 
     # --- host object API: new / frugal_root (the reference's 4 bench
@@ -810,7 +851,10 @@ def main():
         t_lde = timed_chain(
             functools.partial(lde_chain, use_inv=real_inv is not None,
                               use_fwd=real_fwd is not None),
-            (tlo, thi, inv_d[0], inv_d[1], fwd_d[0], fwd_d[1]), 1, 3)
+            (tlo, thi, inv_d[0], inv_d[1], fwd_d[0], fwd_d[1]), 1, 3,
+            # hash-bound: ~2^(rows) leaf perms + 2^(rows) Merkle perms
+            floor=tip5_floor(2 << lde_log_rows),
+            row=f"lde_commit_2^{lde_log_rows}_rows_w8_s")
         extras[f"lde_commit_2^{lde_log_rows}_rows_w8_s"] = t_lde
 
     for name in dropped:
@@ -823,6 +867,14 @@ def main():
     elapsed = time.time() - t_start
     extras["elapsed_s"] = round(elapsed, 1)
     extras["budget_s"] = budget
+    extras["floors"] = floors
+    # Floor-sanity invariant (auditable by CI): a floored row's committed
+    # value is never below its physical floor unless tagged suspect.
+    for row, fl in floors.items():
+        v = extras.get(row)
+        if isinstance(v, float) and v < fl:
+            assert f"{row}_note" in extras, (
+                f"row {row} = {v} below floor {fl} without a suspect tag")
 
     # Complete extras -> file artifact (the stdout line must stay small).
     here = os.path.dirname(os.path.abspath(__file__))
