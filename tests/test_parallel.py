@@ -73,3 +73,18 @@ def test_distributed_xfe_ntt_matches_single_chip(n_dev, log_n):
     np.testing.assert_array_equal(got, want)
     back = distributed_ntt_xfe_values(got, mesh, inverse=True)
     np.testing.assert_array_equal(back, vals)
+
+
+@pytest.mark.parametrize("chunks", [1, 2, 4])
+def test_distributed_ntt_a2a_overlap_chunks_bit_exact(chunks):
+    """The chunked (overlappable) all-to-all transpose must be bit-exact
+    with the monolithic one and with the single-chip transform, for both
+    directions (round-5 verdict item #2: the overlap lever in code)."""
+    require_devices(8)
+    mesh = make_mesh(8)
+    x = RNG.integers(0, P, size=1 << 14, dtype=np.uint64)
+    want = ntt.ntt_values(x)
+    got = distributed_ntt_values(x, mesh, a2a_chunks=chunks)
+    np.testing.assert_array_equal(got, want)
+    back = distributed_ntt_values(got, mesh, inverse=True, a2a_chunks=chunks)
+    np.testing.assert_array_equal(back, x)

@@ -289,6 +289,40 @@ def _dense_rc_lanes():
     return jnp.asarray(rc_lo), jnp.asarray(rc_hi)
 
 
+def permute_packed(ilo, ihi, tile: int = 512, interpret: bool = False):
+    """Dense-kernel permutation on ALREADY lane-packed (rows, 128) planes.
+
+    The kernel is substate-agnostic — its MDS lane-roll by 8*j moves word
+    group w to (w+j) mod 16 while preserving each lane's substate slot, and
+    the S-box/round-constant lanes depend only on lane >> 3 — so any
+    assignment of 8 states to the substate slots of a row is valid (both
+    the interleaved packing of `permutation_dense*` and the strided packing
+    of ops.tip5_packed). Tiled by an outer lax.map over grid-free
+    single-(tile, 128)-block calls: one compiled block executable reused
+    for every tile count (this environment's remote-compile helper rejects
+    Pallas `grid=`, and one Mosaic executable keeps compile cost flat
+    across the many layer sizes of a Merkle commit). rows % tile == 0."""
+    rows = ilo.shape[0]
+    assert rows % tile == 0, f"rows {rows} must be divisible by tile {tile}"
+    rc_lo, rc_hi = _dense_rc_lanes()
+
+    def one(args):
+        tlo, thi = args
+        return pl.pallas_call(
+            _dense_kernel,
+            out_shape=[jax.ShapeDtypeStruct((tile, 128), jnp.uint32)] * 2,
+            interpret=interpret,
+        )(tlo, thi, rc_lo, rc_hi)
+
+    n_tiles = rows // tile
+    if n_tiles == 1:
+        return one((ilo, ihi))
+    olo, ohi = jax.lax.map(
+        one, (ilo.reshape(n_tiles, tile, 128),
+              ihi.reshape(n_tiles, tile, 128)))
+    return olo.reshape(rows, 128), ohi.reshape(rows, 128)
+
+
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
 def permutation_dense_nogrid(lo, hi, tile: int = 512,
                              interpret: bool = False):
@@ -304,28 +338,8 @@ def permutation_dense_nogrid(lo, hi, tile: int = 512,
     B % (8*tile) == 0."""
     b = lo.shape[0]
     assert b % (8 * tile) == 0, f"batch {b} must be divisible by {8 * tile}"
-    ilo = _interleave(lo)
-    ihi = _interleave(hi)
-    rows = ilo.shape[0]
-    rc_lo, rc_hi = _dense_rc_lanes()
-
-    def one(args):
-        tlo, thi = args
-        return pl.pallas_call(
-            _dense_kernel,
-            out_shape=[jax.ShapeDtypeStruct((tile, 128), jnp.uint32)] * 2,
-            interpret=interpret,
-        )(tlo, thi, rc_lo, rc_hi)
-
-    n_tiles = rows // tile
-    if n_tiles == 1:
-        olo, ohi = one((ilo, ihi))
-    else:
-        olo, ohi = jax.lax.map(
-            one, (ilo.reshape(n_tiles, tile, 128),
-                  ihi.reshape(n_tiles, tile, 128)))
-        olo = olo.reshape(rows, 128)
-        ohi = ohi.reshape(rows, 128)
+    olo, ohi = permute_packed(_interleave(lo), _interleave(hi),
+                              tile=tile, interpret=interpret)
     return _deinterleave(olo), _deinterleave(ohi)
 
 

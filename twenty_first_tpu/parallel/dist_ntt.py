@@ -72,9 +72,23 @@ def _local_ntt(x, log_m: int, inverse: bool):
     return ntt_mod._ntt_core(x, log_m, inverse)
 
 
+def _a2a_chunks_default() -> int:
+    """Transpose/compute overlap factor (SCALING_MODEL.json's named lever).
+
+    The all-to-all is the distributed NTT's ONLY collective; splitting it
+    into per-destination-row chunks interleaved with the second local pass
+    lets XLA's latency-hiding scheduler overlap communication chunk i+1
+    with compute chunk i, hiding up to (C-1)/C of the transpose. Default 4
+    (exposed transpose = A/4: worst-case ring E(8) at 2^26 moves 76.6% ->
+    ~93%, DESIGN §14b). Set TWENTY_FIRST_TPU_A2A_CHUNKS=1 to disable."""
+    import os
+
+    return max(1, int(os.environ.get("TWENTY_FIRST_TPU_A2A_CHUNKS", "4")))
+
+
 @functools.lru_cache(maxsize=None)
 def _make_distributed_ntt(mesh, log_n: int, inverse: bool,
-                          natural_output: bool):
+                          natural_output: bool, a2a_chunks: int | None = None):
     n1, n2 = _split_sizes(log_n)
     d = mesh.shape[AXIS]
     if n1 % d or n2 % d:
@@ -82,6 +96,13 @@ def _make_distributed_ntt(mesh, log_n: int, inverse: bool,
     log_n1 = n1.bit_length() - 1
     log_n2 = n2.bit_length() - 1
     n_inv = pow(1 << log_n, FIELD_P - 2, FIELD_P)
+    chunks = _a2a_chunks_default() if a2a_chunks is None else a2a_chunks
+    if n2 % (d * chunks) or (n2 // d) % chunks:
+        chunks = 1  # indivisible: monolithic transpose
+
+    def _a2a(t):
+        return jax.lax.all_to_all(t, AXIS, split_axis=0, concat_axis=1,
+                                  tiled=True)
 
     def local(lo, hi, tw_lo, tw_hi):
         # lo, hi: (n2, n1/d) — this chip's column block (j1 sharded).
@@ -89,13 +110,35 @@ def _make_distributed_ntt(mesh, log_n: int, inverse: bool,
         # with this chip's diagonal-twiddle block fused into the same pass.
         y = ntt_mod._local_pass((lo, hi), log_n2, inverse,
                                 diag=(tw_lo, tw_hi))
-        # all-to-all transpose: shard rows k2, gather all columns j1
-        ylo = jax.lax.all_to_all(y[0], AXIS, split_axis=0, concat_axis=1,
-                                 tiled=True)
-        yhi = jax.lax.all_to_all(y[1], AXIS, split_axis=0, concat_axis=1,
-                                 tiled=True)
-        # (n2/d, n1): local NTT over j1 (last axis)
-        z = _local_ntt((ylo, yhi), log_n1, inverse)
+        if chunks == 1:
+            # all-to-all transpose: shard rows k2, gather all columns j1
+            z = _local_ntt((_a2a(y[0]), _a2a(y[1])), log_n1, inverse)
+        else:
+            # Chunked transpose overlapped with the second local pass.
+            # Chunks are taken WITHIN each destination's row block: viewing
+            # the (n2, n1/d) matrix as (d, chunks, B/chunks, n1/d) with
+            # B = n2/d, chunk i's all-to-all hands chip p exactly the
+            # global rows [p*B + i*B/chunks, p*B + (i+1)*B/chunks), so
+            # concatenating the per-chunk NTT results reassembles the same
+            # block row-sharding as the monolithic transpose — bit-exact
+            # by construction. The chunks carry no data dependence between
+            # chunk i's collective and chunk j's butterflies, which is
+            # what lets the scheduler run them concurrently.
+            import jax.numpy as jnp
+
+            b = n2 // d
+
+            def sel(t, i):
+                return t.reshape(d, chunks, b // chunks, -1)[:, i].reshape(
+                    n2 // chunks, -1)
+
+            zs = [
+                _local_ntt((_a2a(sel(y[0], i)), _a2a(sel(y[1], i))),
+                           log_n1, inverse)
+                for i in range(chunks)
+            ]
+            z = (jnp.concatenate([zz[0] for zz in zs], axis=0),
+                 jnp.concatenate([zz[1] for zz in zs], axis=0))
         if inverse:
             z = gf.mul_const(z, n_inv)
         return z[0], z[1]
@@ -145,13 +188,17 @@ def _twiddle_device(mesh, log_n: int, inverse: bool):
 
 
 def distributed_ntt(x, mesh, inverse: bool = False,
-                    natural_output: bool = False):
+                    natural_output: bool = False,
+                    a2a_chunks: int | None = None):
     """Distributed NTT of limb planes shaped (n2, n1) (see module docstring).
 
     Input: the coefficient vector x viewed as matrix M[j2, j1] = x[j1 + n1*j2]
     (i.e. `x.reshape(n2, n1)`). Output: (n2, n1) matrix Z with
     Z[k2, k1] = X[k2 + n2*k1]; pass natural_output=True for an (n1, n2)
     matrix holding X in row-major natural order.
+
+    a2a_chunks: transpose/compute overlap factor (None = the
+    TWENTY_FIRST_TPU_A2A_CHUNKS default, 4); bit-exact for any value.
     """
     lo, hi = x
     n2, n1 = lo.shape
@@ -164,20 +211,22 @@ def distributed_ntt(x, mesh, inverse: bool = False,
             f"input must be shaped (n2, n1) = ({expect_n2}, {expect_n1})"
         )
     tw_lo, tw_hi = _twiddle_device(mesh, log_n, inverse)
-    return _make_distributed_ntt(mesh, log_n, inverse, natural_output)(
+    return _make_distributed_ntt(mesh, log_n, inverse, natural_output,
+                                 a2a_chunks)(
         lo, hi, tw_lo, tw_hi
     )
 
 
-def distributed_ntt_values(values: np.ndarray, mesh, inverse: bool = False
-                           ) -> np.ndarray:
+def distributed_ntt_values(values: np.ndarray, mesh, inverse: bool = False,
+                           a2a_chunks: int | None = None) -> np.ndarray:
     """Host-convenience: uint64 vector (n,) -> natural-order NTT via the mesh."""
     values = np.asarray(values, dtype=np.uint64)
     n = values.shape[-1]
     log_n = n.bit_length() - 1
     n1, n2 = _split_sizes(log_n)
     x = gf.to_limbs(values.reshape(n2, n1))
-    zlo, zhi = distributed_ntt(x, mesh, inverse=inverse, natural_output=True)
+    zlo, zhi = distributed_ntt(x, mesh, inverse=inverse, natural_output=True,
+                               a2a_chunks=a2a_chunks)
     return gf.from_limbs((zlo, zhi)).reshape(-1)
 
 
