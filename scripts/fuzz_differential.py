@@ -2,12 +2,29 @@
 
 The per-module parity suites pin the reference's fixed vectors and a
 handful of seeded cases; this harness sweeps RANDOM shapes/sizes across
-the dispatch boundaries (Lagrange vs tree interpolation, schoolbook vs
-NTT products, Horner vs remainder-tree evaluation, host vs device NTT,
-varlen sponge chunking, MMR batch ops vs the archival oracle) where a
-retuned cutoff could silently change values. Algebraic identities and
-independent slow oracles adjudicate; any mismatch prints a seeded repro
-line and exits nonzero.
+the dispatch boundaries where a retuned cutoff could silently change
+values. Algebraic identities and independent slow oracles adjudicate; any
+mismatch prints a seeded repro line and exits nonzero.
+
+Dispatch boundaries covered (kept current with each round's retunes):
+  * Lagrange vs tree interpolation (round-4 crossover retune: 2^12);
+  * schoolbook vs NTT row products (round-4 retune: min(la,lb) <= 12 or
+    m*la*lb <= 2^12);
+  * Horner vs remainder-tree evaluation; host vs device NTT (incl. the
+    monkeypatch-tested slab branches' value behavior);
+  * varlen sponge chunking; MMR batch ops vs the archival oracle;
+  * the lattice NTT-domain wire boundary (ciphertexts carry NTT-domain
+    coefficients; round-4 group-vectorized NTT-64) — round-5 family;
+  * the distributed MMR carry-merge (peaks_from_leafs + batch_append
+    across mesh shard boundaries, incl. the n % d indivisible fallback)
+    — round-5 family;
+  * wire-format adversaries: Merkle proof tamper, codec decode-robust,
+    KEM ciphertext corruption.
+
+Cadence: CI runs a 120 s smoke on every push (main.yml `fuzz-smoke`); the
+nightly-equivalent is the same harness at 1800 s — run it after any
+dispatch-constant retune and before each round-end snapshot:
+    python scripts/fuzz_differential.py 1800
 
 Usage: python scripts/fuzz_differential.py [seconds] [seed]
 """
@@ -17,6 +34,11 @@ import sys
 import time
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    # the distributed-MMR carry-merge family needs a multi-device mesh
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
 
 import numpy as np
 
@@ -224,11 +246,68 @@ def check_kem_corruption_rejected(rng):
     assert lattice.dec(sk, bad) != key
 
 
+def check_lattice_ntt_domain_boundary(rng):
+    """The lattice stack's NTT-domain seam: transform involution, NTT-
+    domain Hadamard vs coefficient-domain negacyclic products (module
+    fast_multiply vs multiply), and the NTT-domain ciphertext wire
+    (to_bfes/from_bfes of a real encapsulation, which stores NTT-domain
+    coefficients) surviving a roundtrip bit-exactly."""
+    from twenty_first_tpu.math import lattice
+
+    a = lattice.CyclotomicRingElement.sample_uniform(rng.bytes(9 * 64))
+    b = lattice.CyclotomicRingElement.sample_uniform(rng.bytes(9 * 64))
+    assert a.ntt().intt() == a
+    assert lattice.CyclotomicRingElement.hadamard(
+        a.ntt(), b.ntt()).intt() == a * b
+    n = int(rng.integers(1, 4))
+    ma = lattice.ModuleElement.sample_uniform(rng.bytes(9 * 64 * n * n), n * n)
+    mb = lattice.ModuleElement.sample_uniform(rng.bytes(9 * 64 * n), n)
+    fast = lattice.ModuleElement.fast_multiply(ma, mb, n, n, 1)
+    slow = lattice.ModuleElement.multiply(ma, mb, n, n, 1)
+    assert fast == slow, n
+    sk, pk = lattice.keygen(rng.bytes(32))
+    key, ct = lattice.enc(pk, rng.bytes(32))
+    wire = lattice.Ciphertext.from_bfes(ct.to_bfes())
+    assert lattice.dec(sk, wire) == key
+    wire2 = lattice.Ciphertext.from_bytes(ct.to_bytes())
+    assert lattice.dec(sk, wire2) == key
+
+
+def check_dist_mmr_carry_merge(rng):
+    """Distributed MMR peaks/append vs the host accumulator oracle at
+    random (leaf count, batch size, mesh size) — the shard-boundary
+    carry merge, including indivisible n % d fallbacks (the round-4
+    advisor fix) and >= 3-peak shapes."""
+    import jax as _jax
+
+    from twenty_first_tpu.parallel.dist_mmr import (
+        distributed_batch_append, distributed_peaks_from_leafs)
+    from twenty_first_tpu.parallel.mesh import make_mesh
+    from twenty_first_tpu.util_types.mmr.mmr_accumulator import MmrAccumulator
+
+    avail = len(_jax.devices())
+    choices = [d for d in (2, 4, 8) if d <= avail] or [1]
+    d = int(rng.choice(choices))
+    mesh = make_mesh(d)
+    n = int(rng.integers(1, 700))
+    leafs = rng.integers(0, P, size=(n, 5), dtype=np.uint64)
+    got = distributed_peaks_from_leafs(leafs, mesh)
+    want = MmrAccumulator.peaks_from_leafs(leafs)
+    assert got == want, (d, n)
+    m = int(rng.integers(1, 300))
+    batch = rng.integers(0, P, size=(m, 5), dtype=np.uint64)
+    new_peaks, new_count = distributed_batch_append(got, n, batch, mesh)
+    assert new_count == n + m
+    assert new_peaks == MmrAccumulator.peaks_from_leafs(
+        np.concatenate([leafs, batch])), (d, n, m)
+
+
 CHECKS = [check_poly_mul, check_divmod_identity, check_interpolate_roundtrip,
           check_zerofier, check_ntt_roundtrip, check_tip5_varlen,
           check_mmr_vs_archival, check_codec_roundtrip,
           check_merkle_tamper, check_codec_decode_robust,
-          check_kem_corruption_rejected]
+          check_kem_corruption_rejected, check_lattice_ntt_domain_boundary,
+          check_dist_mmr_carry_merge]
 
 
 def main():

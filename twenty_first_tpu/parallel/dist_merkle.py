@@ -25,7 +25,20 @@ from .mesh import AXIS
 
 
 def _reduce_layers(state, num_layers: int):
-    """Repeated batched hash_pair: (b, 5) limb planes -> (b / 2^k, 5)."""
+    """Repeated batched hash_pair: (b, 5) limb planes -> (b / 2^k, 5).
+
+    On the TPU backend, bulk layers run through the lane-packed dense
+    Tip5 kernel (ops.tip5_packed: whole commit in (8,16) lane packing,
+    per-layer regroup = two 40-lane slices; measured faster than the XLA
+    path at 2^20 — DESIGN.md §19); small layers and other backends keep
+    the XLA-fused path. Dispatch is decided at trace time
+    (TWENTY_FIRST_TPU_PACKED_COMMIT=0 opts out before first use)."""
+    from ..ops import tip5_packed
+
+    if (num_layers > 0
+            and tip5_packed.packed_eligible(state[0].shape[0] // 2)
+            and tip5_packed.use_packed_commit()):
+        return tip5_packed.reduce_layers_packed(state, num_layers)
     lo, hi = state
     for _ in range(num_layers):
         b = lo.shape[0] // 2

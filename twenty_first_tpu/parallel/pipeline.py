@@ -100,7 +100,11 @@ def _hash_rows_commit(evals, w: int, big_n: int):
     """Shared pipeline tail: (W, big_n) evaluation planes -> (1, 5) root.
 
     Each evaluation row is hashed fixed-length-domain in ONE Tip5
-    permutation (W <= RATE), then reduced layer-wise to the Merkle root."""
+    permutation (W <= RATE), then reduced layer-wise to the Merkle root.
+    On the TPU backend the whole tail (leaf hashing + bulk Merkle layers)
+    runs through the lane-packed dense kernel (ops.tip5_packed) — one
+    pack transpose in, one digest unpack out (DESIGN.md §19)."""
+    from ..ops import tip5_packed
     from ..tip5.constants import STATE_SIZE
 
     import jax.numpy as jnp
@@ -113,9 +117,11 @@ def _hash_rows_commit(evals, w: int, big_n: int):
          jnp.ones((big_n, STATE_SIZE - 10), jnp.uint32)], axis=1)
     state_hi = jnp.concatenate(
         [rows_hi, jnp.zeros((big_n, STATE_SIZE - w), jnp.uint32)], axis=1)
+    log_rows = big_n.bit_length() - 1
+    if tip5_packed.packed_eligible(big_n) and tip5_packed.use_packed_commit():
+        return tip5_packed.commit_states_packed(state_lo, state_hi, log_rows)
     perm = tip5_dev.permutation((state_lo, state_hi))
     leafs = (perm[0][:, :5], perm[1][:, :5])
-    log_rows = big_n.bit_length() - 1
     return dist_merkle._reduce_layers(leafs, log_rows)
 
 
