@@ -107,12 +107,60 @@ def make_pass(log_t, tc, roundtrip=False):
     return run_pass
 
 
-def run_case(name, log_t, tc, roundtrip=False):
+def make_pass_nogrid(log_t, tc):
+    """Round-5 verdict item #4: the same fused local pass through the
+    GRID-FREE route (outer lax.map over single-(t, tc)-block calls — the
+    dispatch pattern that let the lane-dense Tip5 kernel compile and win
+    standalone through this tunnel, DESIGN §17). Boundary cost: a
+    (t, w) -> (w/tc, t, tc) tile transpose each way (~1 HBM round trip),
+    which a production integration would fold into neighbors."""
+    t = 1 << log_t
+    twl_np, twh_np, metas = ntt._stage_tw_flat(log_t, False)
+    tw_l = jnp.asarray(twl_np)
+    tw_h = jnp.asarray(twh_np)
+    base = make_pass(log_t, tc)  # reuse its kernel via closure rebuild
+
+    # rebuild the same kernel body (non-roundtrip variant)
+    def kernel(lo_ref, hi_ref, twl_ref, twh_ref, olo_ref, ohi_ref):
+        st = (lo_ref[...], hi_ref[...])
+        olo, ohi = gf.canon(
+            ntt._ntt_stages_ax2_tw(st, log_t, False, twl_ref[...],
+                                   twh_ref[...]))
+        olo_ref[...] = olo
+        ohi_ref[...] = ohi
+
+    def one(args):
+        tlo, thi = args
+        return pl.pallas_call(
+            kernel,
+            out_shape=[jax.ShapeDtypeStruct((t, tc), jnp.uint32)] * 2,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(tlo, thi, tw_l, tw_h)
+
+    def run_pass(lo, hi):
+        perm, _ = ntt._device_tables_mixed(log_t, False)
+        lo = jnp.take(lo, perm, axis=0)
+        hi = jnp.take(hi, perm, axis=0)
+        w = lo.shape[1]
+        n_tiles = w // tc
+        tlo = jnp.moveaxis(lo.reshape(t, n_tiles, tc), 1, 0)
+        thi = jnp.moveaxis(hi.reshape(t, n_tiles, tc), 1, 0)
+        olo, ohi = jax.lax.map(one, (tlo, thi))
+        return (jnp.moveaxis(olo, 0, 1).reshape(t, w),
+                jnp.moveaxis(ohi, 0, 1).reshape(t, w))
+
+    del base
+    return run_pass
+
+
+def run_case(name, log_t, tc, roundtrip=False, nogrid=False):
     n_t = 1 << log_t
     n_w = N // n_t
     lo = jnp.asarray((vals & 0xFFFFFFFF).astype(np.uint32)).reshape(n_t, n_w)
     hi = jnp.asarray((vals >> 32).astype(np.uint32)).reshape(n_t, n_w)
-    run_pass = make_pass(log_t, tc, roundtrip)
+    run_pass = make_pass_nogrid(log_t, tc) if nogrid \
+        else make_pass(log_t, tc, roundtrip)
 
     # correctness vs the XLA local pass (on a slice for speed)
     want = ntt._local_pass((lo[:, :256], hi[:, :256]), log_t, False)
@@ -136,8 +184,10 @@ if __name__ == "__main__":
         parts = spec.split(",")
         lt, tc = int(parts[0]), int(parts[1])
         rt = len(parts) > 2 and parts[2] == "rt"
+        ng = len(parts) > 2 and parts[2] == "ng"
+        tag = " rt" if rt else (" ng" if ng else "")
         try:
-            run_case(f"t=2^{lt} tc={tc}{' rt' if rt else ''}", lt, tc, rt)
+            run_case(f"t=2^{lt} tc={tc}{tag}", lt, tc, rt, ng)
         except Exception as e:
-            print(f"t=2^{lt} tc={tc}{' rt' if rt else ''}: FAILED {type(e).__name__}: {str(e)[:300]}",
+            print(f"t=2^{lt} tc={tc}{tag}: FAILED {type(e).__name__}: {str(e)[:300]}",
                   flush=True)

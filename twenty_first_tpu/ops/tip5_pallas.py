@@ -305,6 +305,15 @@ def permute_packed(ilo, ihi, tile: int = 512, interpret: bool = False):
     rows = ilo.shape[0]
     assert rows % tile == 0, f"rows {rows} must be divisible by tile {tile}"
     rc_lo, rc_hi = _dense_rc_lanes()
+    kwargs = {}
+    if tile > 512 and not interpret:
+        # the kernel's scoped-VMEM stack is ~23 KB/row (measured: 23.57 MB
+        # at tile=1024) — beyond the 16 MB default for tiles > 512; v5e has
+        # 128 MB of VMEM, so raise the cap for the larger blocks
+        from jax.experimental.pallas import tpu as pltpu
+
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
 
     def one(args):
         tlo, thi = args
@@ -312,6 +321,7 @@ def permute_packed(ilo, ihi, tile: int = 512, interpret: bool = False):
             _dense_kernel,
             out_shape=[jax.ShapeDtypeStruct((tile, 128), jnp.uint32)] * 2,
             interpret=interpret,
+            **kwargs,
         )(tlo, thi, rc_lo, rc_hi)
 
     n_tiles = rows // tile
