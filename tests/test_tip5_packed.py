@@ -1,32 +1,20 @@
 """Lane-packed commit path (ops.tip5_packed): layout algebra + reduction
-equivalence, validated on CPU by substituting the Pallas dense kernel with
-its layout-level oracle (unpack -> XLA permutation -> pack). The kernel
-itself is substate-agnostic (ops.tip5_pallas.permute_packed docstring) and
-is bit-exactness-checked on real TPU hardware by the opt-in HW test and by
-scripts/ab_packed_merkle.py before every promotion measurement."""
+equivalence, validated on CPU through interpret=True, which routes every
+kernel call to permute_packed_multi_oracle — the jnp replica sharing the
+kernel's exact arithmetic (_dense_rounds) and pairing (_dense_pair_halves)
+code. Hardware bit-exactness of the compiled Mosaic kernels is checked by
+the opt-in HW test and by scripts/ab_packed_merkle.py's root assert before
+every promotion measurement."""
 
 import numpy as np
-import pytest
 
 from twenty_first_tpu.math import gf
 from twenty_first_tpu.math.b_field_element import P
-from twenty_first_tpu.ops import tip5_packed
+from twenty_first_tpu.ops import tip5_packed, tip5_pallas
 from twenty_first_tpu.parallel import dist_merkle
 from twenty_first_tpu.tip5 import permutation as tip5_dev
 
 RNG = np.random.default_rng(77)
-
-
-def _oracle_permute_packed(ilo, ihi, tile=512, interpret=False):
-    lo, hi = tip5_packed.unpack_states(ilo, ihi)
-    out = tip5_dev.permutation((lo, hi))
-    return tip5_packed.pack_states(out[0], out[1])
-
-
-@pytest.fixture
-def oracle_kernel(monkeypatch):
-    monkeypatch.setattr(tip5_packed.tip5_pallas, "permute_packed",
-                        _oracle_permute_packed)
 
 
 def test_pack_unpack_round_trip_and_semantics():
@@ -72,14 +60,15 @@ def test_pair_packed_matches_natural_pairing():
     np.testing.assert_array_equal(np.asarray(phi), np.asarray(want[1]))
 
 
-def test_reduce_layers_packed_matches_xla(oracle_kernel):
+def test_reduce_layers_packed_matches_xla():
     b = 1 << 10
     dig = RNG.integers(0, P, size=(b, 5), dtype=np.uint64)
     state = gf.to_limbs(dig)
-    # tile=16: r1 = b/16 = 64 -> 3 packed layers (64, 32 rows) before the
-    # XLA tail; exercises entry, chain, unpack, and tail together
+    # tile=16: r1 = b/16 = 64 -> multi-level fused groups + XLA pairs +
+    # tail together (MULTI_LEVELS=4 exercised: 64 -> 8 rows in one call)
     for layers in (1, 4, 10):
-        got = tip5_packed.reduce_layers_packed(state, layers, tile=16)
+        got = tip5_packed.reduce_layers_packed(state, layers, tile=16,
+                                               interpret=True)
         want = dist_merkle._reduce_layers(state, layers)
         np.testing.assert_array_equal(np.asarray(got[0]),
                                       np.asarray(want[0]))
@@ -87,11 +76,12 @@ def test_reduce_layers_packed_matches_xla(oracle_kernel):
                                       np.asarray(want[1]))
 
 
-def test_commit_states_packed_matches_xla(oracle_kernel):
+def test_commit_states_packed_matches_xla():
     b = 1 << 9
     states = RNG.integers(0, P, size=(b, 16), dtype=np.uint64)
     slo, shi = gf.to_limbs(states)
-    got = tip5_packed.commit_states_packed(slo, shi, 9, tile=8)
+    got = tip5_packed.commit_states_packed(slo, shi, 9, tile=8,
+                                           interpret=True)
     out = tip5_dev.permutation((slo, shi))
     want = dist_merkle._reduce_layers((out[0][:, :5], out[1][:, :5]), 9)
     assert np.asarray(got[0]).shape == (1, 5)
@@ -111,3 +101,38 @@ def test_packed_eligibility_gate():
     got = tip5_packed.reduce_layers_packed(state, 6)
     want = dist_merkle._reduce_layers(state, 6)
     np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+
+
+def test_multi_level_oracle_matches_single_level():
+    """permute_packed_multi_oracle at levels L == L explicit
+    (single-level permute + pair_packed) steps — pins the evens-first
+    reorder + in-kernel pairing construction against the composition it
+    replaces, for every fusable depth."""
+    rows, tile = 64, 32
+    states = RNG.integers(0, P, size=(rows * 8, 16), dtype=np.uint64)
+    ilo, ihi = tip5_packed.pack_states(*gf.to_limbs(states))
+    for levels in (1, 2, 3, 4):
+        got = tip5_pallas.permute_packed_multi_oracle(ilo, ihi, levels,
+                                                      tile=tile)
+        wlo, whi = ilo, ihi
+        for step in range(levels):
+            if step:
+                wlo, whi = tip5_packed.pair_packed(wlo, whi)
+            wlo, whi = tip5_pallas.permute_packed_multi_oracle(
+                wlo, whi, 1, tile=min(tile, wlo.shape[0]))
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(wlo))
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(whi))
+
+
+def test_single_level_oracle_matches_xla_permutation():
+    """The jnp replica's arithmetic (shared with the Mosaic kernel) is
+    bit-exact with the production XLA permutation."""
+    b = 1 << 8
+    states = RNG.integers(0, P, size=(b, 16), dtype=np.uint64)
+    lo, hi = gf.to_limbs(states)
+    ilo, ihi = tip5_packed.pack_states(lo, hi)
+    got = tip5_pallas.permute_packed_multi_oracle(ilo, ihi, 1, tile=16)
+    out = tip5_packed.unpack_states(*got)
+    want = tip5_dev.permutation_values(states)
+    np.testing.assert_array_equal(gf.from_limbs(
+        (np.asarray(out[0]), np.asarray(out[1]))), want)

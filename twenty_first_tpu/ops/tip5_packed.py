@@ -39,8 +39,21 @@ from . import tip5_pallas
 
 _U32 = jnp.uint32
 
-#: one Mosaic block executable, reused for every layer/tile count
-TILE = 512
+#: block height for the packed kernels. Per-lax.map-step cost measured
+#: ~zero (prof_packed_overhead: 16/32/64 steps at constant data are a
+#: wash), so the tile is sized for scoped VMEM: the compile helper pins a
+#: hard 16 MB cap (CompilerParams.vmem_limit_bytes is not honored through
+#: its AOT path) and kernel scratch is ~23 KB/row/level-stage, so 128
+#: keeps even the 4-level fused kernel (~5.5 MB) comfortably legal.
+TILE = 128
+
+#: Merkle levels fused per kernel invocation (in-kernel pairing). The
+#: structural cost of the packed commit is the XLA machinery BETWEEN
+#: kernel calls (map-boundary slicing/stacking + regroup passes, measured
+#: 7.2 ms of the 37 ms 2^20 commit); fusing 4 levels per call removes
+#: ~7/8 of it (each in-kernel level halves the data the next XLA boundary
+#: touches).
+MULTI_LEVELS = 4
 
 
 def pack_states(lo, hi):
@@ -113,18 +126,23 @@ def _xla_reduce(lo, hi, layers: int):
 
 
 def _packed_chain(ilo, ihi, max_pairs: int, tile: int, interpret: bool):
-    """Permute packed states, then (pair + permute) while rows stay
-    tile-aligned; returns (packed digest planes, pairs_done)."""
+    """Hash packed states down the tree: each kernel call fuses up to
+    MULTI_LEVELS levels (in-kernel pairing), with one XLA pair_packed
+    between calls; returns (packed digest planes, pairs_done)."""
     pairs = 0
-    ilo, ihi = tip5_pallas.permute_packed(ilo, ihi, tile=tile,
-                                          interpret=interpret)
-    while pairs < max_pairs and (ilo.shape[0] // 2) % tile == 0 \
-            and ilo.shape[0] >= 2:
+    while True:
+        rows = ilo.shape[0]
+        lv = min(MULTI_LEVELS, max_pairs - pairs + 1)
+        while lv > 1 and (tile % (1 << (lv - 1)) or (rows >> (lv - 1)) < 1):
+            lv -= 1
+        ilo, ihi = tip5_pallas.permute_packed_multi(
+            ilo, ihi, lv, tile=tile, interpret=interpret)
+        pairs += lv - 1
+        if pairs >= max_pairs or (ilo.shape[0] // 2) % tile != 0 \
+                or ilo.shape[0] < 2:
+            return ilo, ihi, pairs
         ilo, ihi = pair_packed(ilo, ihi)
-        ilo, ihi = tip5_pallas.permute_packed(ilo, ihi, tile=tile,
-                                              interpret=interpret)
         pairs += 1
-    return ilo, ihi, pairs
 
 
 def packed_eligible(num_states: int, tile: int = TILE) -> bool:

@@ -219,20 +219,149 @@ def _dense_mds(lo, hi, col):
 _COL_SCALARS = [np.uint32(c) for c in MDS_MATRIX_FIRST_COLUMN]
 
 
+def _dense_rounds(lo, hi, rc_lo, rc_hi):
+    """All 5 Tip5 rounds on lane-packed (rows, 128) planes (plain jnp —
+    callable both inside a Pallas kernel and as a CPU oracle)."""
+    lane = jax.lax.broadcasted_iota(jnp.uint32, lo.shape, dimension=1)
+    word_lt4 = (lane >> 3) < 4
+    for r in range(NUM_ROUNDS):
+        lo, hi = _dense_sbox(lo, hi, word_lt4)
+        lo, hi = _dense_mds(lo, hi, _COL_SCALARS)
+        lo, hi = gf.add((lo, hi), (rc_lo[r], rc_hi[r]))
+    return lo, hi
+
+
+def _dense_pair_halves(lo, hi, roll=None):
+    """In-kernel Merkle pairing of lane-packed digest planes whose rows
+    are ordered evens-first: rows [0, h) are left children (global even
+    rows), rows [h, 2h) the matching right children. Parent hash-pair
+    state r = left[r] words 0..4 (lanes 0:40) | right[r] words 0..4
+    shifted to words 5..9 (lane roll by +40) | FixedLength capacity."""
+    h = lo.shape[0] // 2
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (h, lo.shape[1]), 1)
+    roll = roll or _roll_lanes
+    rlo = roll(lo[h:], 40)
+    rhi = roll(hi[h:], 40)
+    plo = jnp.where(lane < 40, lo[:h],
+                    jnp.where(lane < 80, rlo, jnp.uint32(1)))
+    phi = jnp.where(lane < 80,
+                    jnp.where(lane < 40, hi[:h], rhi), jnp.uint32(0))
+    return plo, phi
+
+
 def _dense_kernel(lo_ref, hi_ref, rc_lo_ref, rc_hi_ref, out_lo_ref,
                   out_hi_ref):
     # Mosaic has no 64-bit ints: force the pure-u32 limb multiply path
     with gf.u32_ops():
-        lo = lo_ref[...]
-        hi = hi_ref[...]
-        lane = jax.lax.broadcasted_iota(jnp.uint32, lo.shape, dimension=1)
-        word_lt4 = (lane >> 3) < 4
-        for r in range(NUM_ROUNDS):
-            lo, hi = _dense_sbox(lo, hi, word_lt4)
-            lo, hi = _dense_mds(lo, hi, _COL_SCALARS)
-            lo, hi = gf.add((lo, hi), (rc_lo_ref[r], rc_hi_ref[r]))
+        lo, hi = _dense_rounds(lo_ref[...], hi_ref[...],
+                               rc_lo_ref[...], rc_hi_ref[...])
     out_lo_ref[...] = lo
     out_hi_ref[...] = hi
+
+
+def _make_dense_multi_kernel(levels: int):
+    """Kernel running `levels` Merkle hash levels per invocation: permute,
+    then (pair-in-kernel + permute) x (levels-1). Input rows must be
+    pre-ordered by bit-reversed low (levels-1) bits (see
+    permute_packed_multi) so every level's pairing is contiguous-halves.
+    Eliminates the per-level lax.map boundary (XLA's dynamic-slice in /
+    stack out around each custom call) and the XLA regroup passes — the
+    7.2 ms structural cost prof_packed_overhead measured at 2^20."""
+
+    def kernel(lo_ref, hi_ref, rc_lo_ref, rc_hi_ref, out_lo_ref,
+               out_hi_ref):
+        with gf.u32_ops():
+            lo, hi = lo_ref[...], hi_ref[...]
+            rc_lo, rc_hi = rc_lo_ref[...], rc_hi_ref[...]
+            lo, hi = _dense_rounds(lo, hi, rc_lo, rc_hi)
+            for _ in range(levels - 1):
+                lo, hi = _dense_pair_halves(lo, hi)
+                lo, hi = _dense_rounds(lo, hi, rc_lo, rc_hi)
+        out_lo_ref[...] = lo
+        out_hi_ref[...] = hi
+
+    return kernel
+
+
+def _multi_reorder_perm(tile: int, levels: int):
+    """Source-row permutation placing tile rows in the order the
+    multi-level kernel's recursive halving expects: destination index
+    d = bitrev_{lb}(r & (2^lb - 1)) * (tile >> lb) + (r >> lb) with
+    lb = levels - 1 (evens-first, recursively)."""
+    lb = levels - 1
+    idx = np.arange(tile)
+    low = idx & ((1 << lb) - 1)
+    rest = idx >> lb
+    rev = np.zeros_like(idx)
+    for i in range(lb):
+        rev |= ((low >> i) & 1) << (lb - 1 - i)
+    key = rev * (tile >> lb) + rest
+    return np.argsort(key)  # perm_src[d] = source row
+
+
+def permute_packed_multi(ilo, ihi, levels: int, tile: int = 512,
+                         interpret: bool = False):
+    """`levels` Merkle hash levels on packed (rows, 128) STATE planes ->
+    (rows >> (levels-1), 128) packed DIGEST planes. rows % tile == 0.
+
+    levels=1 degenerates to permute_packed. The per-tile evens-first row
+    pre-ordering is a host-constant major-axis gather (cheap); correctness
+    of the full construction is pinned on CPU by the jnp replica
+    (permute_packed_multi_oracle) and on hardware by the A/B root checks.
+    interpret=True routes to the oracle outright (the dense kernel's
+    per-primitive interpret emulation is impractically slow on CPU)."""
+    if interpret:
+        return permute_packed_multi_oracle(ilo, ihi, levels, tile=tile)
+    if levels == 1:
+        return permute_packed(ilo, ihi, tile=tile, interpret=interpret)
+    rows = ilo.shape[0]
+    assert rows % tile == 0 and tile % (1 << (levels - 1)) == 0
+    n_tiles = rows // tile
+    perm = jnp.asarray(_multi_reorder_perm(tile, levels))
+    rc_lo, rc_hi = _dense_rc_lanes()
+    kernel = _make_dense_multi_kernel(levels)
+    out_t = tile >> (levels - 1)
+
+    def one(args):
+        tlo, thi = args
+        return pl.pallas_call(
+            kernel,
+            out_shape=[jax.ShapeDtypeStruct((out_t, 128), jnp.uint32)] * 2,
+            interpret=interpret,
+        )(tlo, thi, rc_lo, rc_hi)
+
+    tlo = jnp.take(ilo.reshape(n_tiles, tile, 128), perm, axis=1)
+    thi = jnp.take(ihi.reshape(n_tiles, tile, 128), perm, axis=1)
+    if n_tiles == 1:
+        olo, ohi = one((tlo[0], thi[0]))
+        return olo, ohi
+    olo, ohi = jax.lax.map(one, (tlo, thi))
+    return (olo.reshape(rows >> (levels - 1), 128),
+            ohi.reshape(rows >> (levels - 1), 128))
+
+
+def permute_packed_multi_oracle(ilo, ihi, levels: int, tile: int = 512):
+    """jnp replica of the multi-level kernel (same code path minus
+    pallas_call) — the CPU correctness oracle for the layout algebra AND
+    arithmetic of permute_packed_multi."""
+    rows = ilo.shape[0]
+    n_tiles = rows // tile
+    perm = jnp.asarray(_multi_reorder_perm(tile, levels))
+    rc_lo, rc_hi = _dense_rc_lanes()
+
+    def one(tlo, thi):
+        lo, hi = _dense_rounds(tlo, thi, rc_lo, rc_hi)
+        for _ in range(levels - 1):
+            lo, hi = _dense_pair_halves(
+                lo, hi, roll=lambda x, s: jnp.roll(x, s, axis=1))
+            lo, hi = _dense_rounds(lo, hi, rc_lo, rc_hi)
+        return lo, hi
+
+    tlo = jnp.take(ilo.reshape(n_tiles, tile, 128), perm, axis=1)
+    thi = jnp.take(ihi.reshape(n_tiles, tile, 128), perm, axis=1)
+    outs = [one(tlo[i], thi[i]) for i in range(n_tiles)]
+    return (jnp.concatenate([o[0] for o in outs], 0),
+            jnp.concatenate([o[1] for o in outs], 0))
 
 
 def _interleave(x):
