@@ -90,7 +90,19 @@ def main():
     vals = rng.integers(0, P, size=(n, 5), dtype=np.uint64)
     llo, lhi = (jnp.asarray(v) for v in gf.to_limbs(vals))
 
-    for name, kern in (("ident", _ident_kernel), ("real", real_kernel)):
+    import os
+    cfgs = [("ident", _ident_kernel), ("real", real_kernel)]
+    if os.environ.get("PROBE_ONLY_REAL") == "1":
+        cfgs = [("real", real_kernel)]
+    tl = int(os.environ.get("PROBE_TILE", "0"))
+    lv = int(os.environ.get("PROBE_LEVELS", "0"))
+    if tl:
+        tip5_packed.TILE = tl
+    if lv:
+        tip5_packed.MULTI_LEVELS = lv
+    print(f"commit config: TILE={tip5_packed.TILE} "
+          f"MULTI_LEVELS={tip5_packed.MULTI_LEVELS}", flush=True)
+    for name, kern in cfgs:
         tip5_pallas._dense_kernel = kern
 
         @jax.jit

@@ -41,19 +41,23 @@ _U32 = jnp.uint32
 
 #: block height for the packed kernels. Per-lax.map-step cost measured
 #: ~zero (prof_packed_overhead: 16/32/64 steps at constant data are a
-#: wash), so the tile is sized for scoped VMEM: the compile helper pins a
-#: hard 16 MB cap (CompilerParams.vmem_limit_bytes is not honored through
-#: its AOT path) and kernel scratch is ~23 KB/row/level-stage, so 128
-#: keeps even the 4-level fused kernel (~5.5 MB) comfortably legal.
-TILE = 128
+#: wash), so the tile is bounded only by scoped VMEM: the compile helper
+#: pins a hard 16 MB cap (CompilerParams.vmem_limit_bytes is not honored
+#: through its AOT path) and kernel scratch is ~23 KB/row, capping the
+#: single-level kernel at 512 rows — the measured-best production config.
+TILE = 512
 
-#: Merkle levels fused per kernel invocation (in-kernel pairing). The
-#: structural cost of the packed commit is the XLA machinery BETWEEN
-#: kernel calls (map-boundary slicing/stacking + regroup passes, measured
-#: 7.2 ms of the 37 ms 2^20 commit); fusing 4 levels per call removes
-#: ~7/8 of it (each in-kernel level halves the data the next XLA boundary
-#: touches).
-MULTI_LEVELS = 4
+#: Merkle levels fused per kernel invocation (in-kernel pairing via
+#: permute_packed_multi). MEASURED REGRESSION above 1 (DESIGN §19): the
+#: fused levels run at 1/2..1/8 vector width inside a block (rows 64..16
+#: per op at tile 128), losing more to narrow-op inefficiency than the
+#: saved XLA boundary passes — lv4/t128 = 45.3 ms vs lv1/t512 = 41.4 ms
+#: at 2^20 (A/B harness); lv2/t256 = 37.55 vs lv1/t512 = 37.11 (probe
+#: harness). The single-level scheme keeps EVERY level at full width by
+#: batching the whole layer across blocks. Machinery kept in-tree
+#: (oracle-tested at depths 1-4) for hardware where the VMEM cap allows
+#: wide multi-level blocks.
+MULTI_LEVELS = 1
 
 
 def pack_states(lo, hi):
