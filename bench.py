@@ -430,6 +430,25 @@ def main():
                                            (slo, shi), 2, 18, reps=8,
                                            floor=tip5_floor(batch),
                                            row="tip5_permutation_batch_2^16_s")
+                # Pallas hardware bit-exactness smoke, REUSING this row's
+                # executable (each Mosaic-bearing executable costs ~100 s
+                # of tunnel upload per run): the k=1 chain returns the
+                # u32-wrapped plane checksum of permutation_batch(states),
+                # reproduced independently on the host via the native
+                # scalar core. A kernel producing any wrong word fails
+                # the 2^16-state checksum with overwhelming probability.
+                from twenty_first_tpu import native as _native
+
+                if _native.available():
+                    host_perm = _native.tip5_permute_batch(states)
+                    hlo, hhi = gf.to_limbs(host_perm)
+                    want_ck = int((int(hlo.sum(dtype=np.uint64))
+                                   + int(hhi.sum(dtype=np.uint64)))
+                                  % (1 << 32))
+                    got_ck = int(perm_chain_standalone(slo, shi, 1))
+                    extras["pallas_hw_bit_exact"] = bool(got_ck == want_ck)
+                    extras["pallas_hw_method"] = \
+                        "checksum-vs-native-host-oracle (2^16 states)"
             except Exception as exc:  # Mosaic compile regression: report
                 extras["tip5_dense_dispatch"] = \
                     f"skipped:{type(exc).__name__}"
@@ -481,9 +500,13 @@ def main():
     if True:
         from twenty_first_tpu.parallel import dist_merkle
 
+        # height 16 is full-profile-only since round 5: its Mosaic-bearing
+        # executable costs ~35 s of tunnel upload per run, and the 2^20
+        # row already pins the packed-commit path in the driver profile
         for height in (16, 20):
-            if not block(f"merkle_2^{height}_commit_s",
-                         60 if height == 16 else 90):
+            gate = block if height == 20 else full_block
+            if not gate(f"merkle_2^{height}_commit_s",
+                        60 if height == 16 else 90):
                 continue
             leafs = rng.integers(0, p, size=(1 << height, 5), dtype=np.uint64)
             llo, lhi = (jax.device_put(v) for v in gf.to_limbs(leafs))
@@ -724,10 +747,12 @@ def main():
         _p("codec start")
         extras["codec_roundtrip_2^10_s"] = timed_host(codec_roundtrip)
 
-    # --- Pallas experimental kernels: bit-exactness smoke on real HW -------
-    # (ops/ is a frozen experiment lab — this keeps its kernels verified on
-    # hardware every bench run, not just via the opt-in test)
-    if block("pallas_hw_bit_exact", 40):
+    # --- Pallas kernels: per-element bit-exactness on real HW --------------
+    # Full profile only: the driver profile gets the zero-extra-executable
+    # checksum form above (each Mosaic-bearing executable costs ~100 s of
+    # tunnel upload per run); this block compares every output word.
+    if "pallas_hw_bit_exact" not in extras and \
+            full_block("pallas_hw_bit_exact", 40):
         _p("pallas hw smoke start")
         try:
             if jax.default_backend() == "cpu":
@@ -736,12 +761,25 @@ def main():
                 from twenty_first_tpu.ops import tip5_pallas
                 from twenty_first_tpu.tip5 import permutation as jnp_perm
 
+                # the PROMOTED grid-free lane-dense kernel (the tunnel
+                # rejects grids, so the narrow grid kernel would always
+                # report skipped:mosaic-aot-tunnel; this checks the kernel
+                # production actually dispatches to). The oracle side runs
+                # on the HOST (native scalar core) — every device
+                # executable costs tens of seconds of tunnel upload.
+                from twenty_first_tpu import native
+                from twenty_first_tpu.tip5.tip5 import _permute_values
+
                 st = rng.integers(0, p, size=(4096, 16), dtype=np.uint64)
-                want = np.asarray(jnp_perm.permutation_values(st))
-                got = np.asarray(tip5_pallas.permutation_values(
-                    st, tile=2048))
+                if native.available():
+                    want = native.tip5_permute_batch(st)
+                else:
+                    want = np.array([_permute_values([int(v) for v in row])
+                                     for row in st], dtype=np.uint64)
+                got = np.asarray(tip5_pallas.permutation_dense_values(st))
                 extras["pallas_hw_bit_exact"] = bool(
                     np.array_equal(got, want))
+                del jnp_perm
         except Exception as e:  # Mosaic availability varies by backend
             # The axon tunnel's compile service rejects Mosaic AOT
             # requests (HTTP 500/UNIMPLEMENTED); that is a documented
